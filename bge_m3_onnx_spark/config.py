@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+BM25 parameters k1=1.2, b=0.75 are fixed by the north rule; everything else is
+tunable. Defaults are sized so that the same code is correct at sf0.001 and would
+hold up at 10^12 turns (block sizing is derived per-term from df, shuffle width
+from the session, skew thresholds from the corpus histogram).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 (north rule: k1=1.2, b=0.75) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- tokenizer (mirrors the reference's filter semantics, SURVEY.md §2.2) ---
+    # P5 sequence-length clamp (reference: BGE-M3 max 8192 tokens,
+    # /root/reference/samples/dotnet/BgeM3.Onnx/M3Embedder.cs:191)
+    max_tokens: int = 8192
+    # P3 special-token exclusion (reference drops token ids {0,1,2,3} = [PAD]/[UNK]/
+    # [CLS]/[SEP], /root/reference/samples/python/bge_m3_embedder.py:30,135).
+    # Our terms are strings; the analog is an explicit exclusion set (default empty so
+    # SQL oracles stay expressible; tests exercise a non-empty set).
+    special_terms: frozenset[str] = field(default_factory=frozenset)
+
+    # --- index build ---
+    # Target postings per compressed block. Actual block membership is computed from
+    # doc-ordinal ranges (block_range_for_term) so block assembly never needs a global
+    # per-term rank — fully parallel and skew-free even for stopword terms with
+    # billions of postings.
+    block_size: int = 128
+    # Terms with df above this fraction of N get salted during the merge shuffle.
+    hot_term_df_fraction: float = 0.05
+    # Salt fan-out for hot terms.
+    hot_term_salts: int = 16
+
+    # --- query ---
+    default_k: int = 10
+    # Blocks per term scanned in the WAND phase-1 threshold estimation pass.
+    wand_seed_blocks: int = 2
+
+    def block_range_for_term(self, df: int, n_docs: int) -> int:
+        """Doc-ordinal span per block so a term with document frequency ``df`` over
+        ``n_docs`` documents lands ~block_size postings per block. Pure arithmetic on
+        (df, N) so executors compute it without any extra shuffle."""
+        if df <= 0:
+            return max(1, n_docs)
+        span = max(1, (n_docs * self.block_size) // df)
+        return span
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,85 @@
+"""Deterministic, vectorized tokenizer.
+
+Plays the role of the reference's ONNX-exported XLM-RoBERTa tokenizer
+(/root/reference/samples/python/bge_m3_embedder.py:114; exported at
+bge-m3-to-onnx.ipynb cell-9 via ``gen_processing_models``), re-designed for a
+distributed engine: a self-contained BGE-M3-*style* normalizer + word splitter that is
+
+* identical between the Spark pandas UDF and the pure-Python oracle (same function),
+* NFKC + lowercase (SentencePiece-style normalization),
+* unicode word extraction (``[^\\W_]+``) so multilingual turns tokenize
+  (the reference corpus includes 10-script lines and the empty string —
+  /root/reference/samples/python/generate_reference_embeddings.py:60-69),
+* reference filter semantics preserved (SURVEY.md §2.2):
+  - P5 truncation to ``max_tokens`` (M3Embedder.cs:191),
+  - P3 special-term exclusion (bge_m3_embedder.py:30,135),
+  - P4 zero-tf postings never exist (tf comes from counting kept tokens),
+  - A2 group-by-term dedupe happens downstream via groupBy(term, doc).count().
+
+On pure-ASCII text the token stream equals ``regexp_extract_all(lower(text),
+'[a-z0-9]+')`` — this is what lets the DuckDB SQL oracles in ``__spark_entry__.py``
+cross-check the Spark plans exactly.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# \w includes underscore; BGE-M3's SentencePiece treats '_' as the word-boundary
+# marker, so we exclude it from tokens.
+TOKEN_PATTERN = r"[^\W_]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
+
+
+def tokenize_text(
+    text: str | None,
+    max_tokens: int = 8192,
+    special_terms: frozenset[str] = frozenset(),
+) -> list[str]:
+    """Single-string tokenizer — the oracle path. The Spark path
+    (:func:`tokenize_udf`) must produce exactly this, which tests assert."""
+    if text is None:
+        return []
+    norm = unicodedata.normalize("NFKC", text).lower()
+    toks = _TOKEN_RE.findall(norm)
+    if max_tokens is not None and len(toks) > max_tokens:
+        toks = toks[:max_tokens]  # P5 clamp — truncate BEFORE the special filter,
+        # mirroring the reference order (tokenize → clamp → filter specials)
+    if special_terms:
+        toks = [t for t in toks if t not in special_terms]  # P3
+    return toks
+
+
+def _tokenize_series(
+    s: pd.Series, max_tokens: int, special_terms: frozenset[str]
+) -> pd.Series:
+    """pandas-vectorized kernel: NFKC → lower → findall, all via pandas .str ops
+    (no per-row Python loop except the cheap special-term filter)."""
+    filled = s.fillna("")
+    toks = filled.str.normalize("NFKC").str.lower().str.findall(_TOKEN_RE)
+    if max_tokens is not None:
+        toks = toks.map(lambda xs: xs[:max_tokens] if len(xs) > max_tokens else xs)
+    if special_terms:
+        toks = toks.map(lambda xs: [t for t in xs if t not in special_terms])
+    return toks
+
+
+def tokenize_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # noqa: ANN201
+    """Arrow-batched Series→Series pandas UDF: text → array<string> of terms.
+
+    This is the engine's ONE custom scalar op in the build path (SURVEY.md §2.10);
+    everything downstream is native Spark SQL.
+    """
+    specials = frozenset(special_terms)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return _tokenize_series(s, max_tokens, specials)
+
+    return _tok

@@ -1,0 +1,87 @@
+"""Posting-list construction — the SPIMI map phase, Spark-first.
+
+The reference computes one document's postings at a time: per-token weight →
+special-token filter → positive filter → group-by-token MAX dedupe
+(/root/reference/samples/python/bge_m3_embedder.py:133-143, the "core reference
+semantic" per SURVEY.md §2.4 A2). We transpose that to the distributed relation
+``(term, doc_id, tf)`` with plain DataFrame ops so Catalyst gives us map-side
+partial aggregation (the SPIMI in-memory inverter) and AQE handles residual skew.
+
+Scale notes (10^12 turns):
+* tokenize+explode+groupBy is one shuffle, keyed by (term, doc_id) — high cardinality,
+  well-spread; the *hot-term* skew only appears in per-term aggregations (df) and in
+  block assembly, both of which are handled without ever grouping a whole term on one
+  task (see salted df below and operators/compress.py's range-bucketed blocks).
+* doc length (dl) is computed from the token array BEFORE exploding — no second pass
+  over postings, no extra shuffle on the fat relation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+from bge_m3_onnx_spark.functions.tokenizer import tokenize_udf
+from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
+
+@dataclass
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def tokenized_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, terms: array<string>, dl: int) — one vectorized-UDF pass over text.
+
+    Column pruning: only (conv_id, turn_idx, text) are read; at query time nothing
+    rereads text at all.
+    """
+    tok = tokenize_udf(cfg.max_tokens, cfg.special_terms)
+    return transcripts.select(
+        doc_id_col().alias("doc_id"), tok(F.col("text")).alias("terms")
+    ).withColumn("dl", F.size("terms"))
+
+
+def build_postings(tokenized: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) — the uncompressed inverted-index relation.
+
+    groupBy(term, doc_id) is the distributed analog of the reference's per-document
+    dict-merge dedupe (bge_m3_embedder.py:140-143): repeated tokens in a turn become
+    tf (count); zero-tf postings cannot exist (P4). dl rides along via max() — it is
+    functionally dependent on doc_id, so this adds no real aggregation work but saves
+    a doc-stats join at query time (denormalized exactly for that reason).
+    """
+    return (
+        tokenized.select("doc_id", "dl", F.explode("terms").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def doc_stats(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, dl) — from the token arrays, not the exploded relation."""
+    return tokenized.select("doc_id", "dl")
+
+
+def corpus_stats(tokenized: DataFrame) -> CorpusStats:
+    row = tokenized.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+
+
+def term_stats(postings: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(term, df) — document frequency per term.
+
+    Postings are already distinct per (term, doc_id), so df = count(*). For the
+    stopword-at-10^12-scale case this is a *count*, which Spark executes as partial
+    (map-side) + final aggregation — each task contributes one partial row per hot
+    term, so no single task ever sees a whole hot term's postings. No manual salting
+    is needed for counts; salting matters where per-posting work must be colocated
+    (block assembly — handled by range-bucketing in compress.py).
+    """
+    return postings.groupBy("term").agg(F.count("*").alias("df"))

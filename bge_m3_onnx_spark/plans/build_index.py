@@ -1,0 +1,119 @@
+"""Index build plan: transcripts → inverted index (logical + materialized).
+
+Milestone-1 path (`build_index`) keeps everything as DataFrames; the materialized
+path (`materialize_index`, plans/checkpoint.py drives it stage-by-stage) writes:
+
+    <index_dir>/postings/   (term, doc_id, tf, dl)      partitioned: bucket-by-term
+    <index_dir>/terms/      (term, df)
+    <index_dir>/docs/       (doc_id, dl)
+    <index_dir>/blocks/     compressed blocks (operators/compress.py)
+    <index_dir>/stats.json  {n_docs, avgdl, k1, b, ...}
+    <index_dir>/_manifest/  per-stage, per-partition lineage + metrics
+
+On a real cluster the postings table would be an Iceberg table bucketed by term
+(``writeTo(...).partitionedBy(bucket(B, col('term')))``) so query-time term
+predicates prune to B' << B buckets. Plain Parquet here gets the same effect with
+``repartition(B, 'term')`` + min/max column stats + pushed term filters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+from bge_m3_onnx_spark.operators import postings as P
+
+
+@dataclass
+class InvertedIndex:
+    """Logical index: handles to the relations + broadcast-able scalars."""
+
+    postings: DataFrame  # (term, doc_id, tf, dl)
+    terms: DataFrame  # (term, df)
+    docs: DataFrame  # (doc_id, dl)
+    n_docs: int
+    avgdl: float
+    cfg: EngineConfig
+    blocks: DataFrame | None = None  # compressed (set by materialize/compress step)
+
+
+def build_index(
+    transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, cache: bool = True
+) -> InvertedIndex:
+    tokenized = P.tokenized_docs(transcripts, cfg)
+    if cache:
+        tokenized = tokenized.persist()
+    stats = P.corpus_stats(tokenized)
+    posting = P.build_postings(tokenized)
+    if cache:
+        posting = posting.persist()
+    terms = P.term_stats(posting, cfg)
+    docs = P.doc_stats(tokenized)
+    return InvertedIndex(
+        postings=posting,
+        terms=terms,
+        docs=docs,
+        n_docs=stats.n_docs,
+        avgdl=stats.avgdl,
+        cfg=cfg,
+    )
+
+
+def _stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.json")
+
+
+def write_stats(index_dir: str, idx: InvertedIndex) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(_stats_path(index_dir), "w") as f:
+        json.dump(
+            {
+                "n_docs": idx.n_docs,
+                "avgdl": idx.avgdl,
+                "k1": idx.cfg.k1,
+                "b": idx.cfg.b,
+                "block_size": idx.cfg.block_size,
+            },
+            f,
+            indent=2,
+        )
+
+
+def load_index(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> InvertedIndex:
+    with open(_stats_path(index_dir)) as f:
+        stats = json.load(f)
+    blocks_dir = os.path.join(index_dir, "blocks")
+    blocks = spark.read.parquet(blocks_dir) if os.path.isdir(blocks_dir) else None
+    return InvertedIndex(
+        postings=spark.read.parquet(os.path.join(index_dir, "postings")),
+        terms=spark.read.parquet(os.path.join(index_dir, "terms")),
+        docs=spark.read.parquet(os.path.join(index_dir, "docs")),
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        cfg=cfg,
+        blocks=blocks,
+    )
+
+
+def write_postings_bucketed(
+    postings: DataFrame, path: str, n_buckets: int = 32
+) -> None:
+    """Term-partitioned layout: co-locates each term's postings so query-time term
+    lookups prune. bucket = pmod(xxhash64(term), B) as a partition column — the
+    Parquet analog of Iceberg ``bucket(B, term)``; readers filter on the same
+    expression (see plans/query.py) and Catalyst prunes directories."""
+    (
+        postings.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,52 @@
+"""Query plan: query strings → top-k (query_id, rank, doc_id, score).
+
+Exact path (milestone 1): broadcast the (tiny) query-term table against the postings
+relation, BM25-score, window top-k. The WAND path (plans/wand.py) must return
+rank-identical results — pruning is lossless; tests assert equality on every fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
+from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+from bge_m3_onnx_spark.plans.build_index import InvertedIndex
+
+QUERY_TERM_SCHEMA = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("term", StringType(), False),
+    ]
+)
+
+
+def query_terms_df(
+    spark: SparkSession, queries: dict[int, str], cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Tokenize queries ON THE DRIVER (queries are tiny; same tokenizer as documents)
+    and emit the distinct (query_id, term) relation."""
+    rows = []
+    for qid, qtext in queries.items():
+        for term in sorted(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms))):
+            rows.append((int(qid), term))
+    return spark.createDataFrame(rows, QUERY_TERM_SCHEMA)
+
+
+def run_queries(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: dict[int, str],
+    k: int | None = None,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    cfg = cfg or idx.cfg
+    k = k or cfg.default_k
+    qt = query_terms_df(spark, queries, cfg)
+    # df lookup for idf: join the tiny qt against terms, keep it tiny, broadcast on.
+    qt_stats = qt.join(idx.terms, "term", "inner")
+    scored = score_postings(idx.postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
+    return topk(scored, k)

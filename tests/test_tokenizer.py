@@ -1,0 +1,81 @@
+"""Tokenizer unit tests — edge cases lifted from the reference corpus
+(/root/reference/samples/python/generate_reference_embeddings.py:60-69)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bge_m3_onnx_spark.functions.tokenizer import (
+    _tokenize_series,
+    tokenize_text,
+    tokenize_udf,
+)
+
+EDGE_CASES = [
+    "",
+    "Hello world",
+    "English, Español, Русский, 中文, العربية, हिन्दी, Ελληνικά, עברית, 日本語, 한국어",
+    "Text with numbers: 12345 and symbols: !@#$%^&*()",
+    "the THE The tHe",
+    "under_score snake_case",
+    "  leading   spaces\t\ttabs\nnewlines  ",
+    None,
+]
+
+
+def test_empty_and_none():
+    assert tokenize_text("") == []
+    assert tokenize_text(None) == []
+
+
+def test_ascii_matches_simple_regex():
+    # on pure-ASCII text the tokenizer must equal [a-z0-9]+ over lower(text)
+    import re
+
+    for t in ["Hello world", "Text with numbers: 12345 and symbols: !@#$%^&*()"]:
+        assert tokenize_text(t) == re.findall(r"[a-z0-9]+", t.lower())
+
+
+def test_casefold_and_dedupe_input():
+    assert tokenize_text("the THE The tHe") == ["the"] * 4  # tf semantics downstream
+
+
+def test_underscore_excluded():
+    assert tokenize_text("under_score") == ["under", "score"]
+
+
+def test_multilingual():
+    toks = tokenize_text("English, Русский, 中文")
+    assert "english" in toks and "русский" in toks and "中文" in toks
+
+
+def test_truncation_p5():
+    text = " ".join(f"w{i}" for i in range(100))
+    assert len(tokenize_text(text, max_tokens=10)) == 10
+
+
+def test_special_terms_p3():
+    toks = tokenize_text("the cls sep pad", special_terms=frozenset({"cls", "sep", "pad"}))
+    assert toks == ["the"]
+
+
+def test_nfkc_normalization():
+    # full-width latin normalizes to ascii
+    assert tokenize_text("ＨＥＬＬＯ") == ["hello"]
+
+
+def test_pandas_kernel_matches_scalar():
+    s = pd.Series(EDGE_CASES)
+    out = _tokenize_series(s, 8192, frozenset())
+    for text, got in zip(EDGE_CASES, out):
+        assert list(got) == tokenize_text(text)
+
+
+@pytest.mark.usefixtures("spark")
+def test_udf_matches_oracle(spark):
+    df = spark.createDataFrame([(t,) for t in EDGE_CASES], "text string")
+    rows = df.select(F.col("text"), tokenize_udf()(F.col("text")).alias("toks")).collect()
+    for r in rows:
+        assert list(r["toks"]) == tokenize_text(r["text"]), r["text"]
