@@ -1,0 +1,104 @@
+"""Benchmark harness — the driver runs this per round and records BENCH_r{N}.json.
+
+Headline metrics (BASELINE.json.metric):
+  * index-build throughput (turns/sec): transcripts → postings + compressed blocks
+  * query latency: exact BM25 top-10 and block-max WAND top-10 over the query set,
+    plus per-query p50
+
+Corpus: deterministic synthetic transcripts (sources/transcripts.py — no RNG, no
+external data), sized from the sf of $SPARK_GRAFT_SF_DIR so sf0.1 ≈ 200k turns;
+plus the sf documents table reshaped to transcripts for a second, text-heavier
+corpus. Prints ONE JSON line.
+
+Scaling evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bge_m3_onnx_spark.plans.build_index import build_index  # noqa: E402
+from bge_m3_onnx_spark.plans.query import run_queries  # noqa: E402
+from bge_m3_onnx_spark.plans.wand import run_queries_wand  # noqa: E402
+from bge_m3_onnx_spark.session import get_spark  # noqa: E402
+from bge_m3_onnx_spark.sources.transcripts import synth_transcripts  # noqa: E402
+
+BENCH_QUERIES = {
+    1: "spark shuffle partition",
+    2: "the index",
+    3: "varbyte block compress score",
+    4: "checkpoint lineage snapshot iceberg",
+    5: "throughput executor",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(max(20_000, int(2_000_000 * sf)))))
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    # ---- index build (tokenize → postings → stats → compressed blocks) ----
+    transcripts = synth_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10)
+    t0 = time.monotonic()
+    idx = build_index(transcripts, with_blocks=True)
+    n_postings = idx.postings.count()
+    n_blocks = idx.blocks.count()
+    build_sec = time.monotonic() - t0
+    timings["index_build"] = build_sec
+
+    # ---- query: exact path (all 5 queries in one plan) ----
+    t0 = time.monotonic()
+    run_queries(spark, idx, BENCH_QUERIES, k=10).collect()
+    timings["bm25_exact_batch"] = time.monotonic() - t0
+
+    # ---- query: WAND compressed path ----
+    t0 = time.monotonic()
+    run_queries_wand(spark, idx, BENCH_QUERIES, k=10).collect()
+    timings["bm25_wand_batch"] = time.monotonic() - t0
+
+    # ---- per-query p50 latency (exact path, one query per plan) ----
+    lat = []
+    for qid, qtext in BENCH_QUERIES.items():
+        t0 = time.monotonic()
+        run_queries(spark, idx, {qid: qtext}, k=10).collect()
+        lat.append(time.monotonic() - t0)
+    lat.sort()
+    timings["query_p50"] = lat[len(lat) // 2]
+
+    total = time.monotonic() - t_all
+    out = {
+        "metric": "index_build_plus_topk_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "n_postings": n_postings,
+        "n_blocks": n_blocks,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,974 @@
+"""Driver-contract queries: Spark implementations + matching DuckDB oracle SQL.
+
+Every entry here is one operator slice from SURVEY.md §2 (or a training-data
+pipeline op), run by the driver at sf=0.01 against the parquet tables and compared
+to the oracle SQL via row-count + schema + order-insensitive value hash. Floats are
+rounded to 5 dp on BOTH sides (aggregation order differs between engines).
+
+The corpus for index/BM25 slices is the driver's ``documents`` table reshaped into
+the transcripts schema by a deterministic rule shared verbatim with the SQL oracle
+(sources/transcripts.py:TRANSCRIPTS_FROM_DOCUMENTS_SQL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG
+from bge_m3_onnx_spark.functions.tokenizer import tokenize_text, tokenize_udf
+from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals
+from bge_m3_onnx_spark.operators.postings import build_postings, tokenized_docs
+from bge_m3_onnx_spark.plans.build_index import build_index
+from bge_m3_onnx_spark.plans.query import run_queries
+from bge_m3_onnx_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_DOCUMENTS_SQL,
+    transcripts_from_documents,
+)
+
+CFG = DEFAULT_CONFIG
+K1, B = CFG.k1, CFG.b
+
+# ---------------------------------------------------------------- shared SQL CTEs
+
+_BASE_CTES = f"""
+transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+tdocs AS (
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+tokens AS (SELECT doc_id, unnest(toks) AS term FROM tdocs),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM tokens GROUP BY term, doc_id
+),
+doclen AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM tdocs),
+cstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+termdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+"""
+
+_BM25_SCORES_CTE = f"""
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         SUM( ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+              * p.tf * ({K1} + 1.0)
+              / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)) ) AS score
+  FROM postings p
+  JOIN qterms q ON p.term = q.term
+  JOIN termdf t ON p.term = t.term
+  JOIN doclen d ON p.doc_id = d.doc_id
+  CROSS JOIN cstats s
+  GROUP BY q.query_id, p.doc_id
+)
+"""
+
+# The benchmark query set for BM25 slices (over the reshaped documents corpus —
+# ASCII, so engine tokenizer == the SQL regex; terms below exist in the testdata
+# vocabulary).
+ENTRY_QUERIES: dict[int, str] = {
+    1: "spark query data",
+    2: "window agg join",
+    3: "the slow table scan",
+    4: "hash partition shuffle",
+    5: "absent-term-zzz customer",
+}
+
+
+def _qterms_values() -> str:
+    """VALUES list for the oracle — generated from the SAME tokenizer the engine
+    uses, so query-term sets can never drift between the two sides."""
+    rows = []
+    for qid, qtext in ENTRY_QUERIES.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+def _sql(ctes: str, body: str) -> str:
+    return f"WITH {ctes.strip().rstrip(',')} {body.strip()}"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_documents(_load(spark, sf_dir, "documents"))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) exploded token relation via the engine tokenizer UDF."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return toks.select("doc_id", F.explode("terms").alias("term"))
+
+
+# ============================================================ engine-core queries
+
+
+def q_scan_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 scan + docID projection + per-turn text passthrough (input_hint invariant)."""
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "role",
+        "tool",
+        "text",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+SQL_SCAN = _sql(
+    f"transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL})",
+    """SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
+              role, tool, text,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+       FROM transcripts""",
+)
+
+
+def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: group-by-(term,doc) dedupe → tf (the core reference semantic)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return build_postings(toks).select("term", "doc_id", "tf")
+
+
+SQL_POSTINGS = _sql(_BASE_CTES, "SELECT term, doc_id, tf FROM postings")
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return toks.select("doc_id", "dl")
+
+
+SQL_DOCLEN = _sql(_BASE_CTES, "SELECT doc_id, dl FROM doclen")
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return build_postings(toks).groupBy("term").agg(F.count("*").alias("df"))
+
+
+SQL_TERMDF = _sql(_BASE_CTES, "SELECT term, df FROM termdf")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return toks.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 5).alias("avgdl_r")
+    )
+
+
+SQL_CSTATS = _sql(_BASE_CTES, "SELECT n_docs, round(avgdl, 5) AS avgdl_r FROM cstats")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: multi-query BM25 top-10, exact path."""
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    res = run_queries(spark, idx, ENTRY_QUERIES, k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 5).alias("score_r")
+    )
+
+
+SQL_BM25 = _sql(
+    _BASE_CTES + f", qterms(query_id, term) AS (VALUES {_qterms_values()}), " + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank <= 10""",
+)
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND path vs the SAME exact-BM25 oracle — the lossless-pruning
+    proof, cross-engine."""
+    from bge_m3_onnx_spark.plans.wand import run_queries_wand
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=True, with_blocks=True)
+    res = run_queries_wand(spark, idx, ENTRY_QUERIES, k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 5).alias("score_r")
+    )
+
+
+def q_block_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-block metadata (count, first ordinal, exact block-max BM25 bound)
+    recomputed relationally by the oracle — checks ordinal assignment, block
+    bucketing, and the build-time score math in one go."""
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=True, with_blocks=True)
+    return idx.blocks.select(
+        "term",
+        "block_id",
+        "n",
+        "first_ord",
+        F.round("block_max_score", 5).alias("max_score_r"),
+    )
+
+
+SQL_BLOCKS = _sql(
+    _BASE_CTES
+    + f""",
+ords AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_ord FROM tdocs
+),
+scored_postings AS (
+  SELECT p.term, o.doc_ord,
+         ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+           * p.tf * ({K1} + 1.0) / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)) AS score,
+         CAST(FLOOR(o.doc_ord / GREATEST(1, CAST(FLOOR(s.n_docs * {CFG.block_size} / t.df) AS BIGINT))) AS BIGINT) AS block_id
+  FROM postings p
+  JOIN ords o ON p.doc_id = o.doc_id
+  JOIN termdf t ON p.term = t.term
+  JOIN doclen d ON p.doc_id = d.doc_id
+  CROSS JOIN cstats s
+)
+""",
+    """SELECT term, block_id, CAST(count(*) AS INT) AS n,
+              min(doc_ord) AS first_ord,
+              round(max(score), 5) AS max_score_r
+       FROM scored_postings GROUP BY term, block_id""",
+)
+
+
+def q_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 positional sort: (doc_id, pos, term) with sequence order restored —
+    posexplode, the distributed analog of the reference's (pos, token) sort
+    (bge_m3_embedder.py:88-92)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return toks.select(
+        "doc_id", F.posexplode("terms").alias("pos", "term")
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("pos"), "term")
+
+
+SQL_POSITIONAL = _sql(
+    _BASE_CTES,
+    """SELECT doc_id, CAST(i AS INT) AS pos, toks[i] AS term
+       FROM tdocs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u""",
+)
+
+
+def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
+    spec; the engine computes it without a single-task global sort)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    return assign_dense_ordinals(toks, "doc_id", "doc_ord").select("doc_id", "doc_ord")
+
+
+SQL_ORDINALS = _sql(
+    _BASE_CTES,
+    "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_ord FROM tdocs",
+)
+
+
+# ===================================================== reference-operator parity
+
+
+def q_length_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 text-length categorize (generate_dataset.py:170-178) + A4 counts."""
+    d = _load(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    cat = (
+        F.when(wc <= 15, "short").when(wc <= 100, "medium").otherwise("long")
+    )
+    return d.select(cat.alias("length_category")).groupBy("length_category").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_LENCAT = """
+WITH cat AS (
+  SELECT CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) <= 15 THEN 'short'
+              WHEN len(regexp_split_to_array(trim(text), '\\s+')) <= 100 THEN 'medium'
+              ELSE 'long' END AS length_category
+  FROM documents)
+SELECT length_category, count(*) AS n FROM cat GROUP BY length_category
+"""
+
+
+def q_domain_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 keyword-predicate cascade (generate_dataset.py:195-210)."""
+    d = _load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    dom = (
+        F.when(low.rlike("query|join|table|index"), "database")
+        .when(low.rlike("spark|partition|shuffle"), "bigdata")
+        .when(low.rlike("customer|order|part"), "commerce")
+        .otherwise("general")
+    )
+    return d.select(dom.alias("domain")).groupBy("domain").agg(F.count("*").alias("n"))
+
+
+SQL_DOMAIN = """
+WITH dom AS (
+  SELECT CASE WHEN regexp_matches(lower(text), 'query|join|table|index') THEN 'database'
+              WHEN regexp_matches(lower(text), 'spark|partition|shuffle') THEN 'bigdata'
+              WHEN regexp_matches(lower(text), 'customer|order|part') THEN 'commerce'
+              ELSE 'general' END AS domain
+  FROM documents)
+SELECT domain, count(*) AS n FROM dom GROUP BY domain
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 distribution counts (generate_dataset.py:319-324)."""
+    return _load(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+SQL_LANGDIST = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 numeric stats incl. exact median (generate_dataset.py:327-342; O3)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.agg(
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 5).alias("avg_chars_r"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 5).alias("median_chars_r"),
+    )
+
+
+SQL_NUMSTATS = """
+SELECT min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 5) AS avg_chars_r,
+       round(quantile_cont(n_chars, 0.5), 5) AS median_chars_r
+FROM documents
+"""
+
+
+def q_top5_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-k by weight: global top-5 terms by summed tf (desc, term asc) —
+    reference: OrderByDescending(...).Take(5) (Program.cs:56-59)."""
+    t = _tokens(spark, sf_dir)
+    return (
+        t.groupBy("term")
+        .agg(F.count("*").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(5)
+    )
+
+
+SQL_TOP5 = _sql(
+    _BASE_CTES,
+    """SELECT term, count(*) AS total_tf FROM tokens
+       GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 5""",
+)
+
+
+def q_sparse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 hash equi-join on term: compare two documents' sparse term maps
+    (bge_m3_tests.py:151-158 probes ref map against onnx map per key)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    p = build_postings(toks).select("term", "doc_id", "tf")
+    a = p.filter(F.col("doc_id") == "conv-0000:0").select("term", F.col("tf").alias("tf_a"))
+    b = p.filter(F.col("doc_id") == "conv-0001:0").select("term", F.col("tf").alias("tf_b"))
+    return a.join(b, "term", "inner")
+
+
+SQL_SPARSE_JOIN = _sql(
+    _BASE_CTES,
+    """SELECT a.term AS term, a.tf AS tf_a, b.tf AS tf_b
+       FROM (SELECT term, tf FROM postings WHERE doc_id = 'conv-0000:0') a
+       JOIN (SELECT term, tf FROM postings WHERE doc_id = 'conv-0001:0') b USING (term)""",
+)
+
+
+def q_keyset_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 key-set difference via anti-join (len/key mismatch check in the ref)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    p = build_postings(toks).select("term", "doc_id")
+    a = p.filter(F.col("doc_id") == "conv-0000:0").select("term")
+    b = p.filter(F.col("doc_id") == "conv-0001:0").select("term")
+    return a.join(b, "term", "left_anti")
+
+
+SQL_KEYSET_ANTI = _sql(
+    _BASE_CTES,
+    """SELECT term FROM (SELECT term FROM postings WHERE doc_id = 'conv-0000:0')
+       WHERE term NOT IN (SELECT term FROM postings WHERE doc_id = 'conv-0001:0')""",
+)
+
+
+def q_keyset_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: union + dropDuplicates of two documents' term sets."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    p = build_postings(toks).select("term", "doc_id")
+    a = p.filter(F.col("doc_id") == "conv-0000:0").select("term")
+    b = p.filter(F.col("doc_id") == "conv-0001:0").select("term")
+    return a.unionByName(b).dropDuplicates(["term"])
+
+
+SQL_KEYSET_UNION = _sql(
+    _BASE_CTES,
+    """SELECT DISTINCT term FROM (
+         SELECT term FROM postings WHERE doc_id = 'conv-0000:0'
+         UNION ALL
+         SELECT term FROM postings WHERE doc_id = 'conv-0001:0')""",
+)
+
+
+def q_word_char_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 scalar funcs: word count + char count per document."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("word_count"),
+        F.length("text").alias("char_count"),
+    )
+
+
+SQL_WORDCHAR = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS word_count,
+       CAST(length(text) AS INT) AS char_count
+FROM documents
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 shuffle+truncate, made deterministic: hash-order (md5) instead of RNG
+    (generate_dataset.py:286-288 uses random.shuffle + [:1000])."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(20)
+        .select("doc_id")
+    )
+
+
+SQL_DETSAMPLE = """
+SELECT doc_id FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents ORDER BY h LIMIT 20)
+"""
+
+
+# ================================================= training-data pipeline extras
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text; canonical = min doc_id."""
+    d = _load(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select(norm.alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_N_MINHASH = 8  # 4 bands x 2 rows
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding over the token-set: signature h_s(doc) =
+    min(md5(s || ':' || term)); band hash = md5(concat of its rows' minima).
+    md5-as-string minima are engine-portable (no integer-cast games)."""
+    toks = _tokens(spark, sf_dir).dropDuplicates(["doc_id", "term"])
+    seeds = spark.range(_N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("term"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        sig.withColumn("band_id", F.floor(F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+SQL_MINHASH = _sql(
+    _BASE_CTES
+    + f""",
+dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
+seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
+  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
+)
+""",
+    """SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
+              md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+       FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)""",
+)
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket (a < b). The scale path:
+    the self-join is on (band_id, band_hash) — bucket-local, never all-pairs."""
+    bands = q_minhash_bands(spark, sf_dir)
+    a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+SQL_NEARDUP = _sql(
+    _BASE_CTES
+    + f""",
+dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
+seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
+  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
+)
+""",
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b USING (band_id, band_hash)
+       WHERE a.doc_id < b.doc_id""",
+)
+
+
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard over LSH candidate pairs: |A∩B| / |A∪B| ≥ 0.5."""
+    toks = _tokens(spark, sf_dir).dropDuplicates(["doc_id", "term"])
+    pairs = q_neardup_pairs(spark, sf_dir)
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        pairs.join(ta, "doc_a").join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard_r",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 5
+            ),
+        )
+        .filter(F.col("jaccard_r") >= 0.5)
+    )
+    return out.select("doc_a", "doc_b", "jaccard_r")
+
+
+SQL_JACCARD = _sql(
+    _BASE_CTES
+    + f""",
+dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
+seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
+  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_terms FROM dterms GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN dterms ta ON ta.doc_id = p.doc_a
+  JOIN dterms tb ON tb.doc_id = p.doc_b AND tb.term = ta.term
+  GROUP BY p.doc_a, p.doc_b
+)
+""",
+    """SELECT doc_a, doc_b,
+              round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 5) AS jaccard_r
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 5) >= 0.5""",
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the embedding of vec_id=0 — the ANN
+    baseline. Dot/norms in float64 via zip_with+aggregate (JVM-side, no UDF)."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos", 5).alias("cos_r"))
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding) AS ev,
+         unnest(q.qv) AS qe
+  FROM embeddings e CROSS JOIN q
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS d,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
+FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the first 8
+    dims; rank within the query's bucket only. At 10^12 rows the bucket join
+    replaces the full scan; here it is oracle-checked end-to-end."""
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+    eb = e.withColumn("bucket", bucket)
+    qb = eb.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        eb.join(F.broadcast(qb), eb["bucket"] == qb["qbucket"])
+        .select(
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos", 5).alias("cos_r"))
+    )
+
+
+SQL_ANN_LSH = """
+WITH buck AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, embedding AS qv FROM buck WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id, b.embedding, q.qv FROM buck b JOIN q ON b.bucket = q.qbucket
+),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS ev, unnest(qv) AS qe FROM cand
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS d,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
+FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
+"""
+
+_STOPWORDS = ["the", "a", "to", "and", "of", "in", "is", "it", "on", "for"]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword hit-rate over the token stream."""
+    toks = _tokens(spark, sf_dir)
+    sw = F.col("term").isin(*_STOPWORDS).cast("int")
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.round(F.avg(sw), 5).alias("stopword_ratio_r"))
+        .withColumn(
+            "lang_guess", F.when(F.col("stopword_ratio_r") >= 0.05, "en").otherwise("other")
+        )
+    )
+
+
+SQL_LANGID = _sql(
+    _BASE_CTES,
+    f"""SELECT doc_id,
+               round(avg(CASE WHEN term IN ({", ".join(repr(w) for w in _STOPWORDS)}) THEN 1 ELSE 0 END), 5)
+                   AS stopword_ratio_r,
+               CASE WHEN round(avg(CASE WHEN term IN ({", ".join(repr(w) for w in _STOPWORDS)}) THEN 1 ELSE 0 END), 5) >= 0.05
+                    THEN 'en' ELSE 'other' END AS lang_guess
+        FROM tokens GROUP BY doc_id""",
+)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, alnum ratio, mean word length — the length/punct/
+    stopword-ratio family for corpus filtering."""
+    d = _load(spark, sf_dir, "documents")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.round(n_alnum / F.greatest(F.length("text"), F.lit(1)), 5).alias("alnum_ratio_r"),
+        F.round(F.length("text") / F.greatest(wc, F.lit(1)), 5).alias("avg_word_len_r"),
+        (
+            (F.length("text") >= 20)
+            & (n_alnum / F.greatest(F.length("text"), F.lit(1)) >= 0.5)
+        ).cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+             / greatest(length(text), 1), 5) AS alnum_ratio_r,
+       round(length(text) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 5)
+           AS avg_word_len_r,
+       CAST(length(text) >= 20
+            AND length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                / greatest(length(text), 1) >= 0.5 AS INT) AS keep
+FROM documents
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words vs BPE-ish regex tokens."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+SQL_TOKCOUNT = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: hash of the whitespace-normalized lowercase text."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style tumbling 1h window agg (batch form; the Structured
+    Streaming path reuses the same expressions via foreachBatch)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 5).alias("sum_value_r"))
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 5) AS sum_value_r
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap > 30 min (lag + cumulative sum window)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts arrives as TIMESTAMP_NTZ in Spark 4 — route through LTZ (session
+    # tz is UTC) to get epoch seconds, matching DuckDB's epoch(ts) on naive ts
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = with_flag.withColumn(
+        "session_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_idx").cast("int").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(max(session_idx) AS INT) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# ============================================================ registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # engine core (SURVEY §2.1-2.6, §3.4)
+        "scan_transcripts": q_scan_transcripts,
+        "postings_tf": q_postings_tf,
+        "doc_lengths": q_doc_lengths,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
+        "block_metadata": q_block_metadata,
+        "positional_tokens": q_positional_tokens,
+        "doc_ordinals": q_ordinals,
+        # reference-operator parity (SURVEY §2.2-2.8)
+        "length_category": q_length_category,
+        "domain_detect": q_domain_detect,
+        "lang_distribution": q_lang_distribution,
+        "numeric_stats": q_numeric_stats,
+        "top5_terms": q_top5_terms,
+        "sparse_join": q_sparse_join,
+        "keyset_anti": q_keyset_anti,
+        "keyset_union": q_keyset_union,
+        "word_char_counts": q_word_char_counts,
+        "deterministic_sample": q_deterministic_sample,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "neardup_pairs": q_neardup_pairs,
+        "jaccard_neighbors": q_jaccard_neighbors,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        # streaming-style analytics
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "scan_transcripts": SQL_SCAN,
+        "postings_tf": SQL_POSTINGS,
+        "doc_lengths": SQL_DOCLEN,
+        "term_df": SQL_TERMDF,
+        "corpus_stats": SQL_CSTATS,
+        "bm25_topk": SQL_BM25,
+        "wand_topk": SQL_BM25,  # WAND must equal the exact BM25 oracle (lossless)
+        "block_metadata": SQL_BLOCKS,
+        "positional_tokens": SQL_POSITIONAL,
+        "doc_ordinals": SQL_ORDINALS,
+        "length_category": SQL_LENCAT,
+        "domain_detect": SQL_DOMAIN,
+        "lang_distribution": SQL_LANGDIST,
+        "numeric_stats": SQL_NUMSTATS,
+        "top5_terms": SQL_TOP5,
+        "sparse_join": SQL_SPARSE_JOIN,
+        "keyset_anti": SQL_KEYSET_ANTI,
+        "keyset_union": SQL_KEYSET_UNION,
+        "word_char_counts": SQL_WORDCHAR,
+        "deterministic_sample": SQL_DETSAMPLE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_bands": SQL_MINHASH,
+        "neardup_pairs": SQL_NEARDUP,
+        "jaccard_neighbors": SQL_JACCARD,
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_lsh_topk": SQL_ANN_LSH,
+        "lang_id": SQL_LANGID,
+        "quality_score": SQL_QUALITY,
+        "token_counts": SQL_TOKCOUNT,
+        "fingerprint": SQL_FINGERPRINT,
+        "events_tumbling": SQL_EVENTS_TUMBLING,
+        "events_sessionize": SQL_EVENTS_SESSIONS,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: build the inverted index over sf0.001 transcripts and answer the
+    reference query set with exact BM25 top-10."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")

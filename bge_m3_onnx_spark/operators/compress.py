@@ -1,0 +1,159 @@
+"""Compressed posting blocks: delta-gap + varbyte, with block-max BM25 metadata.
+
+Block layout (one row per (term, block)):
+
+    term             string
+    block_id         long     -- doc_ord // block_range(term)
+    n                int      -- postings in block
+    first_ord        long     -- absolute ordinal of the first posting
+    ords_vb          binary   -- VB(gaps of doc ordinals)
+    tfs_vb           binary   -- VB(tf per posting)
+    dls_vb           binary   -- VB(dl per posting)  [self-contained scoring]
+    block_max_score  double   -- max exact BM25 term contribution in block
+
+Skew design (the stopword-at-10^12 problem): block membership is a PURE FUNCTION of
+(doc_ord, df, N) — ``block_id = doc_ord // max(1, N*block_size/df)`` — so assembling a
+hot term's billions of postings shards into millions of independent (term, block_id)
+groups of ~block_size rows each. No task ever materializes a whole term; no global
+per-term rank is needed. This replaces the reference's single-document dict loop
+(/root/reference/samples/python/bge_m3_embedder.py:133-143) with an embarrassingly
+parallel groupBy + Arrow kernel.
+
+Storing dl per posting makes blocks self-scoring: the WAND phases never join the
+10^12-row docs table (SURVEY.md §3.4 query lifecycle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+from bge_m3_onnx_spark.functions.varbyte import gaps_decode, gaps_encode, vb_decode, vb_encode
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("block_id", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("first_ord", LongType(), False),
+        StructField("ords_vb", BinaryType(), True),
+        StructField("tfs_vb", BinaryType(), True),
+        StructField("dls_vb", BinaryType(), True),
+        StructField("block_max_score", DoubleType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_ord", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("dl", IntegerType(), False),
+    ]
+)
+
+
+def _bm25_np(
+    tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float, cfg: EngineConfig
+) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return idf * tf * (cfg.k1 + 1.0) / (tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / avgdl))
+
+
+def build_blocks(
+    postings_with_ord: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """postings (term, doc_id, tf, dl, doc_ord) × terms (term, df) → block rows.
+
+    The postings⋈terms equi-join on term IS the term-partitioned merge shuffle of
+    the north rule; AQE skew-join splits any residual hot partitions, and the
+    (term, block_id) grouping bounds every Arrow kernel invocation at ~block_size
+    rows regardless of df.
+    """
+    avgdl_f = float(avgdl)
+    # block range replicates EngineConfig.block_range_for_term in integer SQL math
+    block_range = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(int(n_docs) * cfg.block_size) / F.col("df")).cast("long"),
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    p = (
+        postings_with_ord.join(terms, "term")
+        .withColumn("block_id", F.floor(F.col("doc_ord") / block_range).cast("long"))
+        .withColumn("idf", idf)
+        .select("term", "block_id", "doc_ord", "tf", "dl", "idf")
+    )
+
+    k1, b = cfg.k1, cfg.b
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_ord")
+        ords = pdf["doc_ord"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        idf_v = float(pdf["idf"].iloc[0])
+        scores = _bm25_np(tfs, dls, idf_v, avgdl_f, cfg)
+        first, gaps = gaps_encode(ords.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "n": [len(ords)],
+                "first_ord": [first],
+                "ords_vb": [gaps],
+                "tfs_vb": [vb_encode(tfs.astype(np.uint64))],
+                "dls_vb": [vb_encode(dls.astype(np.uint64))],
+                "block_max_score": [float(scores.max())],
+            }
+        )
+
+    return p.groupBy("term", "block_id").applyInPandas(encode_group, BLOCK_SCHEMA)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """block rows → (term, doc_ord, tf, dl), numpy-vectorized via mapInPandas."""
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            terms_out, ords_out, tfs_out, dls_out = [], [], [], []
+            for term, n, first, ords_vb, tfs_vb, dls_vb in zip(
+                pdf["term"], pdf["n"], pdf["first_ord"], pdf["ords_vb"], pdf["tfs_vb"], pdf["dls_vb"]
+            ):
+                n = int(n)
+                ords = gaps_decode(int(first), bytes(ords_vb), n)
+                terms_out.append(np.repeat(term, n))
+                ords_out.append(ords.astype(np.int64))
+                tfs_out.append(vb_decode(bytes(tfs_vb)).astype(np.int64))
+                dls_out.append(vb_decode(bytes(dls_vb)).astype(np.int64))
+            if not terms_out:
+                yield pd.DataFrame({"term": [], "doc_ord": [], "tf": [], "dl": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_out),
+                    "doc_ord": np.concatenate(ords_out),
+                    "tf": np.concatenate(tfs_out).astype(np.int32),
+                    "dl": np.concatenate(dls_out).astype(np.int32),
+                }
+            )
+
+    return blocks.mapInPandas(decode_batches, DECODED_SCHEMA)

@@ -47,24 +47,28 @@ def tokenized_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -
 
 
 def build_postings(tokenized: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, dl) — the uncompressed inverted-index relation.
+    """(term, doc_id, tf, dl[, doc_ord]) — the uncompressed inverted-index relation.
 
     groupBy(term, doc_id) is the distributed analog of the reference's per-document
     dict-merge dedupe (bge_m3_embedder.py:140-143): repeated tokens in a turn become
-    tf (count); zero-tf postings cannot exist (P4). dl rides along via max() — it is
-    functionally dependent on doc_id, so this adds no real aggregation work but saves
-    a doc-stats join at query time (denormalized exactly for that reason).
+    tf (count); zero-tf postings cannot exist (P4). dl (and doc_ord, when present)
+    ride along via max() — both are functionally dependent on doc_id, so this adds no
+    real aggregation work but saves a doc-stats join at query time (denormalized
+    exactly for that reason).
     """
+    carry = ["dl"] + (["doc_ord"] if "doc_ord" in tokenized.columns else [])
+    aggs = [F.count("*").cast("int").alias("tf")] + [F.max(c).alias(c) for c in carry]
     return (
-        tokenized.select("doc_id", "dl", F.explode("terms").alias("term"))
+        tokenized.select("doc_id", *carry, F.explode("terms").alias("term"))
         .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("int").alias("tf"), F.max("dl").alias("dl"))
+        .agg(*aggs)
     )
 
 
 def doc_stats(tokenized: DataFrame) -> DataFrame:
-    """(doc_id, dl) — from the token arrays, not the exploded relation."""
-    return tokenized.select("doc_id", "dl")
+    """(doc_id, dl[, doc_ord]) — from the token arrays, not the exploded relation."""
+    cols = ["doc_id", "dl"] + (["doc_ord"] if "doc_ord" in tokenized.columns else [])
+    return tokenized.select(*cols)
 
 
 def corpus_stats(tokenized: DataFrame) -> CorpusStats:

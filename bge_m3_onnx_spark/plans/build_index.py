@@ -43,9 +43,18 @@ class InvertedIndex:
 
 
 def build_index(
-    transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, cache: bool = True
+    transcripts: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    cache: bool = True,
+    with_ordinals: bool = False,
+    with_blocks: bool = False,
 ) -> InvertedIndex:
+    from bge_m3_onnx_spark.operators.compress import build_blocks
+    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals
+
     tokenized = P.tokenized_docs(transcripts, cfg)
+    if with_ordinals or with_blocks:
+        tokenized = assign_dense_ordinals(tokenized, key="doc_id", out="doc_ord")
     if cache:
         tokenized = tokenized.persist()
     stats = P.corpus_stats(tokenized)
@@ -54,6 +63,11 @@ def build_index(
         posting = posting.persist()
     terms = P.term_stats(posting, cfg)
     docs = P.doc_stats(tokenized)
+    blocks = None
+    if with_blocks:
+        blocks = build_blocks(posting, terms, stats.n_docs, stats.avgdl, cfg)
+        if cache:
+            blocks = blocks.persist()
     return InvertedIndex(
         postings=posting,
         terms=terms,
@@ -61,6 +75,7 @@ def build_index(
         n_docs=stats.n_docs,
         avgdl=stats.avgdl,
         cfg=cfg,
+        blocks=blocks,
     )
 
 

@@ -13,7 +13,17 @@ from bge_m3_onnx_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark(
+        app_name="engine-tests",
+        master="local[8]",
+        shuffle_partitions=4,
+        extra_conf={
+            # tiny fixtures: keep plans lean — fixed small shuffle width beats AQE's
+            # extra query-stage materialization at this scale
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
+        },
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,44 @@
+"""WAND path must be rank-identical AND score-equal to the exact path on every
+fixture query — block-max pruning is lossless (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bge_m3_onnx_spark.plans.build_index import build_index
+from bge_m3_onnx_spark.plans.query import run_queries
+from bge_m3_onnx_spark.plans.wand import run_queries_wand
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_transcripts):
+    return build_index(tiny_transcripts, with_blocks=True)
+
+
+def _collect(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+def test_wand_matches_exact(spark, built, query_set):
+    k = 10
+    exact = _collect(run_queries(spark, built, query_set, k=k))
+    wand = _collect(run_queries_wand(spark, built, query_set, k=k))
+    assert set(exact) == set(wand)
+    for qid in exact:
+        e, w = exact[qid], wand[qid]
+        assert [(r, d) for r, d, _ in e] == [(r, d) for r, d, _ in w], f"query {qid}"
+        for (_, _, se), (_, _, sw) in zip(e, w):
+            assert abs(se - sw) < 1e-9
+
+
+def test_wand_matches_exact_small_k(spark, built, query_set):
+    # k=1 → aggressive θ → heaviest pruning; still must be identical
+    subset = {q: query_set[q] for q in (1, 3, 9, 11)}
+    exact = _collect(run_queries(spark, built, subset, k=1))
+    wand = _collect(run_queries_wand(spark, built, subset, k=1))
+    assert set(exact) == set(wand)
+    for qid in exact:
+        assert [(r, d) for r, d, _ in exact[qid]] == [(r, d) for r, d, _ in wand[qid]]
