@@ -451,13 +451,9 @@ SELECT doc_id FROM (
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text; canonical = min doc_id."""
-    d = _load(spark, sf_dir, "documents")
-    norm = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    return (
-        d.select(norm.alias("text_hash"), "doc_id")
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("dup_count"))
-    )
+    from bge_m3_onnx_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_EXACT = """
@@ -473,33 +469,9 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding over the token-set: signature h_s(doc) =
     min(md5(s || ':' || term)); band hash = md5(concat of its rows' minima).
     md5-as-string minima are engine-portable (no integer-cast games)."""
-    toks = _tokens(spark, sf_dir).dropDuplicates(["doc_id", "term"])
-    seeds = spark.range(_N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        toks.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("term"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    return (
-        sig.withColumn("band_id", F.floor(F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                )
-            ).alias("band_hash")
-        )
-    )
+    from bge_m3_onnx_spark.operators.dedup import minhash_bands
+
+    return minhash_bands(_tokens(spark, sf_dir), n_hashes=_N_MINHASH, rows_per_band=2)
 
 
 SQL_MINHASH = _sql(
@@ -521,15 +493,9 @@ sig AS (
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket (a < b). The scale path:
     the self-join is on (band_id, band_hash) — bucket-local, never all-pairs."""
-    bands = q_minhash_bands(spark, sf_dir)
-    a = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    from bge_m3_onnx_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(q_minhash_bands(spark, sf_dir))
 
 
 SQL_NEARDUP = _sql(
@@ -555,28 +521,10 @@ bands AS (
 
 def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (token-set) Jaccard over LSH candidate pairs: |A∩B| / |A∪B| ≥ 0.5."""
-    toks = _tokens(spark, sf_dir).dropDuplicates(["doc_id", "term"])
-    pairs = q_neardup_pairs(spark, sf_dir)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "term")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "term")
-    inter = (
-        pairs.join(ta, "doc_a").join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_terms").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_terms").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard_r",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 5
-            ),
-        )
-        .filter(F.col("jaccard_r") >= 0.5)
-    )
-    return out.select("doc_a", "doc_b", "jaccard_r")
+    from bge_m3_onnx_spark.operators.dedup import jaccard_verify
+
+    toks = _tokens(spark, sf_dir)
+    return jaccard_verify(toks, q_neardup_pairs(spark, sf_dir), threshold=0.5)
 
 
 SQL_JACCARD = _sql(

@@ -113,9 +113,10 @@ def simhash_py(terms: list[str]) -> int:
     import hashlib
 
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for t in terms:
-        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big"))
+        bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     return out - (1 << 64) if out >= (1 << 63) else out  # to signed int64

@@ -1,16 +1,22 @@
-"""Dense global doc ordinals, scale-safe.
+"""Dense global doc ordinals, scale-safe AND re-evaluation-safe.
 
 Gap compression needs integer doc ids that are dense and totally ordered. The naive
-``row_number() OVER (ORDER BY doc_id)`` funnels 10^12 rows through ONE task, so we
-use the classic two-phase trick instead:
+``row_number() OVER (ORDER BY doc_id)`` funnels 10^12 rows through ONE task. The
+classic two-phase fix (range-partition → per-partition counts → offsets) has a trap:
+``repartitionByRange`` samples boundaries with a fresh seed per JOB, so the counts
+job and the ranking job can see DIFFERENT partition boundaries → misaligned offsets
+→ duplicate ordinals (this bit us: two docs decoded to one ordinal). Instead:
 
-1. range-partition by key (sampled boundaries, parallel),
-2. count rows per partition → cumulative offsets (a tiny driver-side array),
-3. ordinal = offset[partition] + (row_number within partition) − 1.
+1. one seeded sample of keys → bucket boundaries chosen ON THE DRIVER (a tiny,
+   explicit list — the single source of truth for every later job),
+2. bucket = #boundaries ≤ key, a PURE FUNCTION of the key (stable across jobs,
+   partitionings, and retries),
+3. per-bucket counts → cumulative offsets (driver arithmetic),
+4. ordinal = offset[bucket] + row_number() within bucket − 1.
 
-The result is EXACTLY ``rank by key − 1`` (keys unique), independent of the number of
-partitions — which is what lets the DuckDB oracle reproduce it with a plain window
-function while our physical plan stays fully parallel.
+Result == ``rank by key − 1`` exactly (keys unique), which is what lets the DuckDB
+oracle reproduce it with a plain window function while the physical plan stays
+fully parallel (the window sorts each bucket independently).
 """
 
 from __future__ import annotations
@@ -23,28 +29,45 @@ def assign_dense_ordinals(
     df: DataFrame, key: str = "doc_id", out: str = "doc_ord", num_partitions: int | None = None
 ) -> DataFrame:
     """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique)."""
-    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(key))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    spark = df.sparkSession
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out, F.lit(0).cast("long"))
+    n_buckets = max(1, min(n_buckets, n))
+
+    # seeded sample → deterministic boundaries (≈200 samples per bucket)
+    frac = min(1.0, (200.0 * n_buckets) / n)
+    sample = sorted(r[0] for r in df.select(key).sample(False, frac, seed=42).collect())
+    boundaries: list = []
+    if sample and n_buckets > 1:
+        step = len(sample) / n_buckets
+        boundaries = sorted({sample[min(len(sample) - 1, int(i * step))] for i in range(1, n_buckets)})
+
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(barr, lambda b: F.col(key) >= b))
+    else:
+        bucket = F.lit(0)
+    with_b = df.withColumn("__bkt", bucket.cast("int"))
+
     counts = {
-        r["__pid"]: r["cnt"]
-        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        r["__bkt"]: r["cnt"]
+        for r in with_b.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
     }
-    # repartitionByRange orders partitions by key range, so cumulative counts in
-    # pid order are the global offsets.
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     offset_expr = F.element_at(
         F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(offsets)]),
-            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+            F.array(*[F.lit(b) for b in sorted(offsets)]),
+            F.array(*[F.lit(offsets[b]) for b in sorted(offsets)]),
         ),
-        F.col("__pid"),
+        F.col("__bkt"),
     )
-    w = Window.partitionBy("__pid").orderBy(key)
+    w = Window.partitionBy("__bkt").orderBy(key)
     return (
-        with_pid.withColumn(out, (F.row_number().over(w) - 1 + offset_expr).cast("long"))
-        .drop("__pid")
+        with_b.withColumn(out, (F.row_number().over(w) - 1 + offset_expr).cast("long"))
+        .drop("__bkt")
     )

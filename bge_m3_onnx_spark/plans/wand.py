@@ -1,44 +1,58 @@
 """Block-max WAND query path — lossless pruning, distributed-safe.
 
 Classic BMW is a sequential cursor algorithm; a 1000-executor engine needs a
-set-oriented formulation. We use a three-phase DataFrame plan whose pruning rule is
-provably safe (rank-identity preserved — tests assert equality with the exact path
-on every fixture):
+set-oriented formulation. Three phases, with a provably safe pruning rule
+(rank-identity preserved — tests assert equality with the exact path on every
+fixture):
 
   Phase 1 (θ estimation): decode only the top ``wand_seed_blocks`` blocks per query
-    term (by block_max_score), score those postings exactly, and take each query's
-    k-th best PARTIAL score as θ. Partial scores are lower bounds of true scores, so
+    term (by block_max_score), score those postings exactly, take each query's k-th
+    best PARTIAL score as θ. Partial scores are lower bounds of true scores, so
     θ ≤ true k-th best score → safe.
 
-  Phase 2 (block pruning): for a doc in block b of term t to reach the top-k it
-    needs  block_max(t, b) + Σ_{t'≠t} max_score(t') ≥ θ  — because every other
-    term's contribution is bounded by its global max. Blocks failing this for their
-    own term are pruned. Proof of candidate completeness: if score(d) ≥ θ then for
-    any query term t with a posting for d,
+  Phase 2 (block pruning): a doc in block b of term t can reach the top-k only if
+    block_max(t, b) + Σ_{t'≠t} max_score(t') ≥ θ. Proof of candidate completeness:
+    if score(d) ≥ θ then for any query term t with a posting for d,
        block_max(t, b_d) + ub_other(t) ≥ s_t(d) + Σ_{t'≠t} s_{t'}(d) = score(d) ≥ θ,
-    so at least one (in fact every) block containing d survives.
+    so every block containing d survives for that query.
 
-  Phase 3 (exact rescore): decode surviving blocks → candidate doc set; rescore
-    candidates with FULL postings (semi-join against the postings of the query
-    terms) so pruned blocks cannot bite pieces out of surviving docs' scores; then
-    the same deterministic top-k window as the exact path.
+  Phase 3 (exact rescore): decode surviving blocks → per-query candidate docs;
+    decode the (computable, tiny) set of blocks that can hold ANY posting of a
+    candidate — block_id = doc_ord // block_range(term) is a pure function — and
+    rescore candidates with full postings, then the deterministic top-k window.
 
-At scale: phase 1 touches O(|q| · seed_blocks · block_size) postings; phase 2 is a
-metadata-only scan of the (term-pruned) blocks table; phase 3 touches only
-surviving blocks. Blocks are self-scoring (tf + dl stored — operators/compress.py),
-so no phase joins the docs table; only the final k·|q| rows join back for doc_id.
+Driver/executor split: per-query scalars (term maxima, Σmax, θ) are O(|q|·terms)
+rows — they are COLLECTED to the driver and re-broadcast as literal relations, so
+the distributed plan sees only: one metadata scan with a pushed bound filter, two
+bounded decodes, one hash aggregation, one tiny window. Blocks are self-scoring
+(tf + dl stored — operators/compress.py), so no phase joins the docs table; only
+the final k·|q| rows join back for doc_id.
+
+At 10^12 scale: the blocks scan is term-pruned by the bucketed layout (pushed
+isin), phase 1 touches O(|q|·seed_blocks·block_size) postings, phase 3 only
+surviving + candidate-covering blocks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, idf_col, topk
 from bge_m3_onnx_spark.operators.compress import decode_blocks
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 from bge_m3_onnx_spark.plans.query import query_terms_df
+
+_BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"]
 
 
 def _score_decoded(decoded: DataFrame, qt: DataFrame, avgdl: float, cfg: EngineConfig) -> DataFrame:
@@ -67,84 +81,136 @@ def run_queries_wand(
     k = k or cfg.default_k
 
     qt = query_terms_df(spark, queries, cfg)
-    qt_stats = qt.join(idx.terms, "term", "inner").select(
-        "query_id", "term", idf_col(F.col("df").cast("double"), idx.n_docs).alias("idf")
+    # idf per (query, term) — tiny; collected once, reused as literal relations.
+    qt_rows = (
+        qt.join(idx.terms, "term", "inner")
+        .select("query_id", "term", F.col("df").cast("long").alias("df"))
+        .collect()
     )
-    qt_stats = qt_stats.persist()
+    if not qt_rows:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", IntegerType()),
+                    StructField("rank", IntegerType()),
+                    StructField("doc_id", StringType()),
+                    StructField("score", DoubleType()),
+                ]
+            ),
+        )
+    import math
 
-    # blocks restricted to query terms: term predicate prunes the blocks scan
-    # (semi-join against a tiny broadcast set → pushed-down isin at the source).
-    qterms_only = qt_stats.select("term").distinct()
-    qblocks = idx.blocks.join(F.broadcast(qterms_only), "term").persist()
-
-    # per-term global max score (over the query's terms only — tiny)
-    tmax = qblocks.groupBy("term").agg(F.max("block_max_score").alias("max_score"))
-    # Σ max over each query's terms, and ub_other = Σ − own max
-    q_tmax = qt_stats.join(tmax, "term").select("query_id", "term", "max_score")
-    q_sum = q_tmax.groupBy("query_id").agg(F.sum("max_score").alias("sum_max"))
-    ub_other = q_tmax.join(q_sum, "query_id").select(
-        "query_id", "term", (F.col("sum_max") - F.col("max_score")).alias("ub_other")
+    n, avgdl = idx.n_docs, idx.avgdl
+    qt_stats_rows = [
+        (r["query_id"], r["term"], math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0), int(r["df"]))
+        for r in qt_rows
+    ]
+    qt_schema = StructType(
+        [
+            StructField("query_id", IntegerType(), False),
+            StructField("term", StringType(), False),
+            StructField("idf", DoubleType(), False),
+            StructField("df", LongType(), False),
+        ]
     )
+    qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema)
+    qterms_list = sorted({t for _, t, _, _ in qt_stats_rows})
 
-    # ---- phase 1: θ from seed blocks ----
+    # blocks restricted to query terms: pushed isin → partition/row-group pruning.
+    qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).persist()
+
+    # ---- job 1 (metadata only, no posting bytes): top seed blocks per term.
+    # rk=1 row doubles as the per-term global max — one pass gives seeds AND tmax.
     w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
-    seed_blocks = (
-        qblocks.withColumn("rk", F.row_number().over(w_seed))
+    seed_meta = (
+        qblocks.select("term", "block_id", "block_max_score")
+        .withColumn("rk", F.row_number().over(w_seed))
         .filter(F.col("rk") <= cfg.wand_seed_blocks)
-        .drop("rk")
+        .collect()
     )
-    seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, idx.avgdl, cfg)
-    w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
-    theta = (
-        seed_scores.withColumn("rk", F.row_number().over(w_theta))
-        .filter(F.col("rk") == k)
-        .select("query_id", F.col("score").alias("theta"))
-    )
+    tmax = {r["term"]: r["block_max_score"] for r in seed_meta if r["rk"] == 1}
+    seed_keys = [f"{r['term']}\x00{r['block_id']}" for r in seed_meta]
+    # Σ max per query and ub_other per (query, term) — pure driver arithmetic
+    by_query: dict[int, list[tuple[str, float]]] = {}
+    for qid, term, _idf, _df in qt_stats_rows:
+        if term in tmax:
+            by_query.setdefault(qid, []).append((term, tmax[term]))
+    ub_other: dict[tuple[int, str], float] = {}
+    for qid, terms in by_query.items():
+        s = sum(m for _, m in terms)
+        for term, m in terms:
+            ub_other[(qid, term)] = s - m
 
-    # ---- phase 2: prune blocks (per query) ----
-    per_query_blocks = qblocks.join(ub_other, "term")  # (query_id, term, block columns)
-    surviving = per_query_blocks.join(theta, "query_id", "left").filter(
-        F.col("theta").isNull()
-        | (F.col("block_max_score") + F.col("ub_other") >= F.col("theta"))
+    # ---- job 2: θ from decoded seed blocks ----
+    block_key = F.concat_ws("\x00", F.col("term"), F.col("block_id").cast("string"))
+    seed_blocks = qblocks.filter(block_key.isin(seed_keys)).select(*_BLOCK_COLS)
+    seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
+    w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
+    theta = {
+        r["query_id"]: r["score"]
+        for r in seed_scores.withColumn("rk", F.row_number().over(w_theta))
+        .filter(F.col("rk") == k)
+        .select("query_id", "score")
+        .collect()
+    }
+
+    # ---- phase 2: per-(query, term) pruning bound, pushed as a broadcast filter ----
+    # block survives for query q iff block_max >= theta(q) - ub_other(q, t);
+    # a block survives GLOBALLY iff it survives for any query → one bound per term.
+    bound_per_term: dict[str, float] = {}
+    for (qid, term), ub in ub_other.items():
+        th = theta.get(qid)
+        b = -float("inf") if th is None else th - ub
+        bound_per_term[term] = min(bound_per_term.get(term, float("inf")), b)
+    if not bound_per_term:  # no query term has any block → empty result
+        qblocks.unpersist()
+        return spark.createDataFrame(
+            [],
+            "query_id int, rank int, doc_id string, score double",
+        )
+    # bound pushed as a literal map lookup — no join, stays in the metadata scan
+    bound_map = F.create_map(
+        *[x for t, b in bound_per_term.items() for x in (F.lit(t), F.lit(float(b)))]
+    )
+    surviving = qblocks.filter(
+        F.col("block_max_score") >= F.element_at(bound_map, F.col("term"))
     )
 
     # ---- phase 3: candidates from surviving blocks, exact rescore ----
-    survived_distinct = surviving.select(
-        "query_id", "term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"
-    )
-    decoded = decode_blocks(
-        survived_distinct.select(
-            "term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"
-        ).dropDuplicates(["term", "block_id"])
-    )
+    decoded = decode_blocks(surviving.select(*_BLOCK_COLS))
+    # per-query candidates: docs seen in any surviving block of that query's terms.
+    # Eagerly materialized (job 3) so the final job reads it from cache instead of
+    # re-decoding the surviving blocks inside two branches of one DAG.
     candidates = (
-        decoded.join(F.broadcast(qt_stats.select("query_id", "term").distinct()), "term")
+        decoded.join(F.broadcast(qt_stats.select("query_id", "term")), "term")
         .select("query_id", "doc_ord")
         .dropDuplicates(["query_id", "doc_ord"])
+        .persist()
     )
-    # Exact rescore needs each candidate's postings from ALL query terms, including
-    # postings that sit in pruned blocks. block_id = doc_ord // block_range(term) is
-    # a pure function, so the exact set of blocks to decode is computable without
-    # touching posting data: candidate ords × query terms → needed (term, block_id).
-    block_range = F.greatest(
-        F.lit(1).cast("long"),
-        F.floor(F.lit(int(idx.n_docs) * cfg.block_size) / F.col("df")).cast("long"),
+    candidates.count()
+    # blocks that can hold any posting of a candidate: block_id is a pure function
+    # of (doc_ord, df, N) — computable without touching posting data.
+    range_by_term = {
+        term: max(1, (n * cfg.block_size) // df) for _, term, _, df in qt_stats_rows
+    }
+    ranges_df = spark.createDataFrame(
+        [(t, int(r)) for t, r in range_by_term.items()],
+        StructType(
+            [StructField("term", StringType(), False), StructField("block_range", LongType(), False)]
+        ),
     )
-    term_ranges = qt.join(idx.terms, "term").select(
-        "term", block_range.alias("block_range")
-    ).dropDuplicates(["term"])
     needed = (
-        candidates.select("doc_ord").distinct()
-        .crossJoin(F.broadcast(term_ranges))
+        candidates.select("doc_ord")
+        .distinct()
+        .crossJoin(F.broadcast(ranges_df))
         .select("term", F.floor(F.col("doc_ord") / F.col("block_range")).cast("long").alias("block_id"))
         .dropDuplicates(["term", "block_id"])
     )
     rescore_blocks = qblocks.join(needed, ["term", "block_id"], "left_semi")
-    full = decode_blocks(
-        rescore_blocks.select("term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb")
-    )
+    full = decode_blocks(rescore_blocks.select(*_BLOCK_COLS))
     scored = _score_decoded(
-        full.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_stats, idx.avgdl, cfg
+        full.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
     )
     scored = scored.join(candidates, ["query_id", "doc_ord"], "left_semi")
 
@@ -152,6 +218,5 @@ def run_queries_wand(
     docs = idx.docs.select("doc_id", "doc_ord")
     out = scored.join(docs, "doc_ord").select("query_id", "doc_id", "score")
     result = topk(out, k)
-    qt_stats.unpersist()
     qblocks.unpersist()
     return result

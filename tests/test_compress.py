@@ -66,6 +66,24 @@ def test_ordinals_are_rank_by_key(spark, tiny_transcripts):
     assert {r["doc_id"]: r["doc_ord"] for r in with_ord2.select("doc_id", "doc_ord").collect()} == expect
 
 
+def test_ordinals_unique_at_scale(spark, small_transcripts):
+    """Regression: repartitionByRange re-samples boundaries per job, which once
+    produced DUPLICATE ordinals (two docs → one ordinal → corrupt gap encoding).
+    The seeded-boundary implementation must be collision-free and rank-exact."""
+    from pyspark.sql import functions as F
+
+    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals
+    from bge_m3_onnx_spark.operators.postings import tokenized_docs
+
+    toks = tokenized_docs(small_transcripts)
+    with_ord = assign_dense_ordinals(toks, "doc_id", "doc_ord", num_partitions=8)
+    dups = with_ord.groupBy("doc_ord").count().filter(F.col("count") > 1).count()
+    assert dups == 0
+    mm = with_ord.agg(F.min("doc_ord").alias("a"), F.max("doc_ord").alias("b"),
+                      F.count("*").alias("n")).collect()[0]
+    assert mm["a"] == 0 and mm["b"] == mm["n"] - 1  # dense 0..n-1
+
+
 def test_blocks_roundtrip_to_postings(spark, tiny_transcripts):
     """Compression is lossless: decode(blocks) == postings (on ordinals)."""
     from bge_m3_onnx_spark.operators.compress import decode_blocks
