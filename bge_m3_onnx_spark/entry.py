@@ -795,6 +795,24 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 JSON parse (SURVEY §2.8): extract props.k, bucket it, aggregate."""
+    e = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 5).alias("sum_value_r"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, round(sum(value), 5) AS sum_value_r
+FROM events GROUP BY 1
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: new session when gap > 30 min (lag + cumulative sum window)."""
     e = _load(spark, sf_dir, "events")
@@ -876,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-style analytics
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
     }
 
 
@@ -913,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "events_sessionize": SQL_EVENTS_SESSIONS,
+        "events_json": SQL_EVENTS_JSON,
     }
 
 

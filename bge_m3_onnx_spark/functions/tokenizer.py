@@ -29,7 +29,13 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # \w includes underscore; BGE-M3's SentencePiece treats '_' as the word-boundary
 # marker, so we exclude it from tokens.
@@ -83,3 +89,32 @@ def tokenize_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # 
         return _tokenize_series(s, max_tokens, specials)
 
     return _tok
+
+
+def term_counts_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # noqa: ANN201
+    """text → array<struct<term, tf>> — tokenize AND count inside the kernel.
+
+    SPIMI in-mapper combining: the reference's group-by-token dedupe
+    (bge_m3_embedder.py:140-143) is per-document, hence LOCAL — doing it inside
+    the Arrow kernel means the downstream postings relation needs NO aggregation
+    shuffle at all (measured: the (term, doc_id) hash agg over the exploded
+    relation was the build's dominant, anti-scaling cost — 32 concurrent hash
+    tables over ~tens of millions of mostly-unique groups spill against the
+    shared memory pool). Term order within a doc is first-occurrence, which is
+    deterministic; downstream consumers never depend on it.
+    """
+    from collections import Counter
+
+    specials = frozenset(special_terms)
+    out_type = ArrayType(
+        StructType(
+            [StructField("term", StringType(), False), StructField("tf", IntegerType(), False)]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def _tok_tf(s: pd.Series) -> pd.Series:
+        toks = _tokenize_series(s, max_tokens, specials)
+        return toks.map(lambda xs: [{"term": t, "tf": int(c)} for t, c in Counter(xs).items()])
+
+    return _tok_tf

@@ -25,24 +25,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_dense_ordinals(
-    df: DataFrame, key: str = "doc_id", out: str = "doc_ord", num_partitions: int | None = None
-) -> DataFrame:
-    """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique)."""
-    spark = df.sparkSession
-    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
-    n = df.count()
-    if n == 0:
-        return df.withColumn(out, F.lit(0).cast("long"))
-    n_buckets = max(1, min(n_buckets, n))
+SAMPLE_FRACTION = 0.002  # boundary sample; only affects bucket BALANCE, never values
 
-    # seeded sample → deterministic boundaries (≈200 samples per bucket)
-    frac = min(1.0, (200.0 * n_buckets) / n)
-    sample = sorted(r[0] for r in df.select(key).sample(False, frac, seed=42).collect())
+
+def assign_dense_ordinals_with_aggs(
+    df: DataFrame,
+    key: str = "doc_id",
+    out: str = "doc_ord",
+    num_partitions: int | None = None,
+    extra_aggs: list | None = None,
+):
+    """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique).
+
+    Returns (df_with_ordinals, n_rows, agg_rows) where agg_rows are the
+    per-bucket results of ``extra_aggs`` — callers piggyback corpus statistics
+    (e.g. Σdl) onto the counts job instead of paying another full pass.
+    Two driver jobs total: the boundary sample (key column only — Catalyst prunes
+    the tokenizer UDF out of both) and the per-bucket counts."""
+    spark = df.sparkSession
+    n_buckets = max(1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    sample = sorted(
+        r[0] for r in df.select(key).sample(False, SAMPLE_FRACTION, seed=42).collect()
+    )
     boundaries: list = []
     if sample and n_buckets > 1:
         step = len(sample) / n_buckets
-        boundaries = sorted({sample[min(len(sample) - 1, int(i * step))] for i in range(1, n_buckets)})
+        boundaries = sorted(
+            {sample[min(len(sample) - 1, int(i * step))] for i in range(1, n_buckets)}
+        )
 
     if boundaries:
         barr = F.array(*[F.lit(b) for b in boundaries])
@@ -51,10 +62,13 @@ def assign_dense_ordinals(
         bucket = F.lit(0)
     with_b = df.withColumn("__bkt", bucket.cast("int"))
 
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in with_b.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
-    }
+    agg_rows = with_b.groupBy("__bkt").agg(
+        F.count("*").alias("cnt"), *(extra_aggs or [])
+    ).collect()
+    counts = {r["__bkt"]: r["cnt"] for r in agg_rows}
+    n = sum(counts.values())
+    if n == 0:
+        return df.withColumn(out, F.lit(0).cast("long")), 0, agg_rows
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
@@ -67,7 +81,15 @@ def assign_dense_ordinals(
         F.col("__bkt"),
     )
     w = Window.partitionBy("__bkt").orderBy(key)
-    return (
+    out_df = (
         with_b.withColumn(out, (F.row_number().over(w) - 1 + offset_expr).cast("long"))
         .drop("__bkt")
     )
+    return out_df, n, agg_rows
+
+
+def assign_dense_ordinals(
+    df: DataFrame, key: str = "doc_id", out: str = "doc_ord", num_partitions: int | None = None
+) -> DataFrame:
+    out_df, _n, _aggs = assign_dense_ordinals_with_aggs(df, key, out, num_partitions)
+    return out_df

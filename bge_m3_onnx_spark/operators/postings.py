@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
-from bge_m3_onnx_spark.functions.tokenizer import tokenize_udf
+from bge_m3_onnx_spark.functions.tokenizer import term_counts_udf, tokenize_udf
 from bge_m3_onnx_spark.sources.transcripts import doc_id_col
 
 
@@ -44,6 +44,33 @@ def tokenized_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -
     return transcripts.select(
         doc_id_col().alias("doc_id"), tok(F.col("text")).alias("terms")
     ).withColumn("dl", F.size("terms"))
+
+
+def counted_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, term_tfs: array<struct<term,tf>>, dl) — SPIMI in-mapper combining:
+    the per-document term counting (reference dedupe semantics A2) happens inside
+    the Arrow kernel, so postings derive by a PURE explode with no aggregation
+    shuffle (see term_counts_udf). dl = Σtf = token count before dedupe."""
+    tok = term_counts_udf(cfg.max_tokens, cfg.special_terms)
+    return transcripts.select(
+        doc_id_col().alias("doc_id"), tok(F.col("text")).alias("term_tfs")
+    ).withColumn(
+        "dl",
+        F.aggregate("term_tfs", F.lit(0), lambda acc, x: acc + x["tf"]).cast("int"),
+    )
+
+
+def postings_from_counted(counted: DataFrame) -> DataFrame:
+    """counted docs → (term, doc_id, tf, dl[, doc_ord]) via explode — shuffle-free."""
+    carry = ["dl"] + (["doc_ord"] if "doc_ord" in counted.columns else [])
+    return counted.select(
+        "doc_id", *carry, F.explode("term_tfs").alias("tt")
+    ).select(
+        F.col("tt.term").alias("term"),
+        "doc_id",
+        F.col("tt.tf").alias("tf"),
+        *carry,
+    )
 
 
 def build_postings(tokenized: DataFrame) -> DataFrame:

@@ -50,19 +50,33 @@ def build_index(
     with_blocks: bool = False,
 ) -> InvertedIndex:
     from bge_m3_onnx_spark.operators.compress import build_blocks
-    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals
+    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals_with_aggs
 
-    tokenized = P.tokenized_docs(transcripts, cfg)
+    counted = P.counted_docs(transcripts, cfg)
+    # NOTE: the counted relation is deliberately NOT cached — memory-store writes
+    # of the fat (doc_id, term_tfs[], …) rows contend across threads and cost far
+    # more than the ~1 recompute of the vectorized tokenizer (measured: persist
+    # 56 s vs recompute 4 s at 1M turns × 32 threads); at 10^12 rows it wouldn't
+    # fit anyway. The materialized build (plans/checkpoint.py) writes Parquet.
     if with_ordinals or with_blocks:
-        tokenized = assign_dense_ordinals(tokenized, key="doc_id", out="doc_ord")
-    if cache:
-        tokenized = tokenized.persist()
-    stats = P.corpus_stats(tokenized)
-    posting = P.build_postings(tokenized)
+        # corpus stats piggyback on the ordinals counts job — one UDF pass serves
+        # boundary offsets AND (N, avgdl).
+        counted, n, aggs = assign_dense_ordinals_with_aggs(
+            counted, key="doc_id", out="doc_ord",
+            extra_aggs=[F.sum("dl").alias("sum_dl")],
+        )
+        sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
+        stats = P.CorpusStats(n_docs=n, avgdl=(sum_dl / n) if n else 0.0)
+    else:
+        stats = P.corpus_stats(counted)
+    # postings derive by pure explode (term counting already happened inside the
+    # Arrow kernel — SPIMI in-mapper combining), so the build has NO aggregation
+    # shuffle on the fat exploded relation.
+    posting = P.postings_from_counted(counted)
     if cache:
         posting = posting.persist()
     terms = P.term_stats(posting, cfg)
-    docs = P.doc_stats(tokenized)
+    docs = P.doc_stats(counted)
     blocks = None
     if with_blocks:
         blocks = build_blocks(posting, terms, stats.n_docs, stats.avgdl, cfg)

@@ -172,7 +172,7 @@ def materialize_index(
     stats_path = os.path.join(index_dir, "stats.json")
 
     def st_tokenized():
-        tok = assign_dense_ordinals(P.tokenized_docs(transcripts, cfg), "doc_id", "doc_ord")
+        tok = assign_dense_ordinals(P.counted_docs(transcripts, cfg), "doc_id", "doc_ord")
         tok.write.mode("overwrite").parquet(tok_path)
         return tok_path, None
 
@@ -189,7 +189,7 @@ def materialize_index(
 
     def st_postings():
         tok = spark.read.parquet(tok_path)
-        posts = P.build_postings(tok).withColumn(
+        posts = P.postings_from_counted(tok).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
         )
         (

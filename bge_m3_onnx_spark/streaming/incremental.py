@@ -51,7 +51,7 @@ def merge_delta(
     cfg = cfg or idx.cfg
     has_ord = "doc_ord" in idx.postings.columns
 
-    tok = P.tokenized_docs(delta_transcripts, cfg)
+    tok = P.counted_docs(delta_transcripts, cfg)
     if has_ord:
         base = int(idx.docs.agg(F.max("doc_ord")).collect()[0][0] or -1) + 1
         tok = assign_dense_ordinals(tok, "doc_id", "doc_ord").withColumn(
@@ -59,7 +59,7 @@ def merge_delta(
         )
     tok = tok.persist()
 
-    delta_postings = P.build_postings(tok)
+    delta_postings = P.postings_from_counted(tok)
     postings = (
         idx.postings.unionByName(delta_postings)
         .groupBy("term", "doc_id")

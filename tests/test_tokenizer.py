@@ -79,3 +79,22 @@ def test_udf_matches_oracle(spark):
     rows = df.select(F.col("text"), tokenize_udf()(F.col("text")).alias("toks")).collect()
     for r in rows:
         assert list(r["toks"]) == tokenize_text(r["text"]), r["text"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_term_counts_udf_matches_counter(spark):
+    """The SPIMI counting kernel == Counter(tokenize_text(...)) per document,
+    and Σtf == token count (dl consistency)."""
+    from collections import Counter
+
+    from bge_m3_onnx_spark.functions.tokenizer import term_counts_udf
+
+    df = spark.createDataFrame([(t,) for t in EDGE_CASES], "text string")
+    rows = df.select(
+        F.col("text"), term_counts_udf()(F.col("text")).alias("tts")
+    ).collect()
+    for r in rows:
+        got = {x["term"]: x["tf"] for x in r["tts"]}
+        want = dict(Counter(tokenize_text(r["text"])))
+        assert got == want, r["text"]
+        assert sum(got.values()) == len(tokenize_text(r["text"]))
