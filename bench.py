@@ -55,6 +55,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.monotonic()
 
+    # ---- warmup (reference discipline: performance_test.py:47 warms before
+    # timing) — a tiny build JIT-compiles codegen + spins the Arrow workers ----
+    warm = build_index(synth_transcripts(spark, n_convs=100, turns_per_conv=10), with_blocks=True)
+    warm.postings.count(); warm.blocks.count()
+    warm.postings.unpersist(); warm.blocks.unpersist()
+
     # ---- index build (tokenize → postings → stats → compressed blocks) ----
     transcripts = synth_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10)
     t0 = time.monotonic()

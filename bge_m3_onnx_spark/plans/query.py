@@ -48,5 +48,16 @@ def run_queries(
     qt = query_terms_df(spark, queries, cfg)
     # df lookup for idf: join the tiny qt against terms, keep it tiny, broadcast on.
     qt_stats = qt.join(idx.terms, "term", "inner")
-    scored = score_postings(idx.postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
+    # Query terms are known on the driver — push them into the postings scan as a
+    # literal In() so Parquet partition/row-group pruning fires BEFORE the join
+    # (the broadcast join alone leaves the scan with only IsNotNull — EXPLAIN.md).
+    term_list = sorted(
+        {
+            t
+            for qtext in queries.values()
+            for t in tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)
+        }
+    )
+    postings = idx.postings.filter(F.col("term").isin(term_list)) if term_list else idx.postings
+    scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
     return topk(scored, k)
