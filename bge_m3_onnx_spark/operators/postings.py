@@ -106,13 +106,18 @@ def corpus_stats(tokenized: DataFrame) -> CorpusStats:
 
 
 def term_stats(postings: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(term, df) — document frequency per term.
+    """(term, df) — document frequency per term, with EXPLICIT salted
+    skew-splitting (north rule: "term-partitioned shuffle with salted
+    skew-splitting for hot terms").
 
-    Postings are already distinct per (term, doc_id), so df = count(*). For the
-    stopword-at-10^12-scale case this is a *count*, which Spark executes as partial
-    (map-side) + final aggregation — each task contributes one partial row per hot
-    term, so no single task ever sees a whole hot term's postings. No manual salting
-    is needed for counts; salting matters where per-posting work must be colocated
-    (block assembly — handled by range-bucketing in compress.py).
+    Two-phase aggregation: phase 1 groups by (term, salt) where
+    salt = pmod(xxhash64(doc_id), S) — a stopword term with 5·10^11 postings
+    lands on S independent reducers instead of one; phase 2 sums the S partial
+    rows per term. Catalyst's map-side partial aggregation already bounds the
+    damage for plain counts, but the explicit salt makes the skew-split hold for
+    ANY per-term aggregate (and with AQE off). Cost for cold terms: one extra
+    S-row-per-term pass over a tiny relation.
     """
-    return postings.groupBy("term").agg(F.count("*").alias("df"))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.hot_term_salts)).alias("salt")
+    partial = postings.groupBy("term", salt).agg(F.count("*").alias("pdf"))
+    return partial.groupBy("term").agg(F.sum("pdf").alias("df"))
