@@ -392,6 +392,40 @@ SQL_KEYSET_ANTI = _sql(
 )
 
 
+def q_zip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 zip (positional) join: pairwise compare two documents' token sequences
+    by index — the reference compares ColBERT vectors positionally
+    (bge_m3_tests.py:168, BgeM3EmbeddingComparisonTests.cs:208-215)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    a = toks.filter(F.col("doc_id") == "conv-0000:0").select(F.col("terms").alias("a"))
+    b = toks.filter(F.col("doc_id") == "conv-0001:0").select(F.col("terms").alias("b"))
+    z = a.crossJoin(b).select(F.posexplode(F.arrays_zip("a", "b")).alias("pos0", "z"))
+    return z.select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("z.a").alias("term_a"),
+        F.col("z.b").alias("term_b"),
+        (F.col("z.a") == F.col("z.b")).cast("int").alias("same"),
+    )
+
+
+SQL_ZIP_COMPARE = _sql(
+    _BASE_CTES
+    + """,
+da AS (SELECT toks AS a FROM tdocs WHERE doc_id = 'conv-0000:0'),
+db AS (SELECT toks AS b FROM tdocs WHERE doc_id = 'conv-0001:0'),
+pair AS (SELECT a, b FROM da CROSS JOIN db),
+idx AS (SELECT unnest(generate_series(1, 8192)) AS i),
+z AS (
+  SELECT CAST(i AS INT) AS pos, a[i] AS term_a, b[i] AS term_b
+  FROM pair CROSS JOIN idx
+  WHERE i <= greatest(len(a), len(b))
+)
+""",
+    """SELECT pos, term_a, term_b,
+              CAST(term_a = term_b AS INT) AS same FROM z""",
+)
+
+
 def q_keyset_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set ops: union + dropDuplicates of two documents' term sets."""
     toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
@@ -878,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_join": q_sparse_join,
         "keyset_anti": q_keyset_anti,
         "keyset_union": q_keyset_union,
+        "zip_compare": q_zip_compare,
         "word_char_counts": q_word_char_counts,
         "deterministic_sample": q_deterministic_sample,
         # training-data pipeline
@@ -918,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_join": SQL_SPARSE_JOIN,
         "keyset_anti": SQL_KEYSET_ANTI,
         "keyset_union": SQL_KEYSET_UNION,
+        "zip_compare": SQL_ZIP_COMPARE,
         "word_char_counts": SQL_WORDCHAR,
         "deterministic_sample": SQL_DETSAMPLE,
         "dedup_exact": SQL_DEDUP_EXACT,
