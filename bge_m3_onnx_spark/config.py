@@ -33,15 +33,29 @@ class EngineConfig:
     # per-term rank — fully parallel and skew-free even for stopword terms with
     # billions of postings.
     block_size: int = 128
-    # Terms with df above this fraction of N get salted during the merge shuffle.
-    hot_term_df_fraction: float = 0.05
-    # Salt fan-out for hot terms.
+    # Salt fan-out for the two-phase per-term aggregation (operators/postings.py
+    # term_stats). Salting is applied unconditionally — the cold-term overhead is one
+    # extra pass over a tiny (term, salt) relation, so no df threshold gates it.
     hot_term_salts: int = 16
+
+    # --- incremental merge (streaming/incremental.py) ---
+    # Untouched terms keep their compressed blocks across a delta merge as long as
+    # corpus drift stays within this bound: old block_max_score values are inflated
+    # by the exact per-term idf ratio x the avgdl norm ratio (still upper bounds →
+    # WAND stays lossless). Beyond the bound the inflation would be too loose to
+    # prune anything, so blocks are fully rebuilt instead.
+    merge_drift_eps: float = 0.25
 
     # --- query ---
     default_k: int = 10
     # Blocks per term scanned in the WAND phase-1 threshold estimation pass.
     wand_seed_blocks: int = 2
+    # Route to the exact path when the query terms' total posting count (Σ df,
+    # known on the driver after the first metadata lookup) is below this: WAND's
+    # extra driver round-trips only pay off when pruning skips far more posting
+    # decode work than the round-trips cost. At 10^12 turns any stopword query
+    # clears this instantly; small/selective queries take the one-job exact plan.
+    wand_route_min_postings: int = 2_000_000
 
     def block_range_for_term(self, df: int, n_docs: int) -> int:
         """Doc-ordinal span per block so a term with document frequency ``df`` over

@@ -36,8 +36,11 @@ K1, B = CFG.k1, CFG.b
 _BASE_CTES = f"""
 transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
 tdocs AS (
+  -- P5 sequence-length clamp applied on the oracle side too (max_tokens), so the
+  -- gate cannot silently diverge for documents longer than the clamp.
   SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
-         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+         list_slice(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+                    1, {CFG.max_tokens}) AS toks
   FROM transcripts
 ),
 tokens AS (SELECT doc_id, unnest(toks) AS term FROM tdocs),
@@ -202,6 +205,7 @@ def q_block_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.blocks.select(
         "term",
         "block_id",
+        "block_range",
         "n",
         "first_ord",
         F.round("block_max_score", 5).alias("max_score_r"),
@@ -218,6 +222,7 @@ scored_postings AS (
   SELECT p.term, o.doc_ord,
          ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
            * p.tf * ({K1} + 1.0) / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)) AS score,
+         GREATEST(1, CAST(FLOOR(s.n_docs * {CFG.block_size} / t.df) AS BIGINT)) AS block_range,
          CAST(FLOOR(o.doc_ord / GREATEST(1, CAST(FLOOR(s.n_docs * {CFG.block_size} / t.df) AS BIGINT))) AS BIGINT) AS block_id
   FROM postings p
   JOIN ords o ON p.doc_id = o.doc_id
@@ -226,10 +231,10 @@ scored_postings AS (
   CROSS JOIN cstats s
 )
 """,
-    """SELECT term, block_id, CAST(count(*) AS INT) AS n,
+    """SELECT term, block_id, block_range, CAST(count(*) AS INT) AS n,
               min(doc_ord) AS first_ord,
               round(max(score), 5) AS max_score_r
-       FROM scored_postings GROUP BY term, block_id""",
+       FROM scored_postings GROUP BY term, block_id, block_range""",
 )
 
 

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 
 
 SAMPLE_FRACTION = 0.002  # boundary sample; only affects bucket BALANCE, never values
+# Hard cap on keys collected to the driver for boundary selection, REGARDLESS of
+# corpus size (0.002 · 10^12 would OOM the driver — VERDICT r1). Boundary quality
+# needs only O(buckets · ~100) keys; the cap is enforced by a deterministic
+# hash-ordered TakeOrdered, which is itself a uniform sub-sample of the sample.
+MAX_BOUNDARY_SAMPLE = 100_000
 
 
 def assign_dense_ordinals_with_aggs(
@@ -34,6 +39,7 @@ def assign_dense_ordinals_with_aggs(
     out: str = "doc_ord",
     num_partitions: int | None = None,
     extra_aggs: list | None = None,
+    max_boundary_sample: int = MAX_BOUNDARY_SAMPLE,
 ):
     """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique).
 
@@ -41,12 +47,18 @@ def assign_dense_ordinals_with_aggs(
     per-bucket results of ``extra_aggs`` — callers piggyback corpus statistics
     (e.g. Σdl) onto the counts job instead of paying another full pass.
     Two driver jobs total: the boundary sample (key column only — Catalyst prunes
-    the tokenizer UDF out of both) and the per-bucket counts."""
+    the tokenizer UDF out of both) and the per-bucket counts. Driver memory is
+    bounded at ``max_boundary_sample`` keys."""
     spark = df.sparkSession
     n_buckets = max(1, num_partitions or spark.sparkContext.defaultParallelism)
 
     sample = sorted(
-        r[0] for r in df.select(key).sample(False, SAMPLE_FRACTION, seed=42).collect()
+        r[0]
+        for r in df.select(key)
+        .sample(False, SAMPLE_FRACTION, seed=42)
+        .orderBy(F.md5(F.col(key).cast("string")))
+        .limit(max_boundary_sample)
+        .collect()
     )
     boundaries: list = []
     if sample and n_buckets > 1:
@@ -89,7 +101,13 @@ def assign_dense_ordinals_with_aggs(
 
 
 def assign_dense_ordinals(
-    df: DataFrame, key: str = "doc_id", out: str = "doc_ord", num_partitions: int | None = None
+    df: DataFrame,
+    key: str = "doc_id",
+    out: str = "doc_ord",
+    num_partitions: int | None = None,
+    max_boundary_sample: int = MAX_BOUNDARY_SAMPLE,
 ) -> DataFrame:
-    out_df, _n, _aggs = assign_dense_ordinals_with_aggs(df, key, out, num_partitions)
+    out_df, _n, _aggs = assign_dense_ordinals_with_aggs(
+        df, key, out, num_partitions, max_boundary_sample=max_boundary_sample
+    )
     return out_df

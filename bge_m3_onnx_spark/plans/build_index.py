@@ -113,11 +113,35 @@ def write_stats(index_dir: str, idx: InvertedIndex) -> None:
         )
 
 
+def reconcile_cfg(cfg: EngineConfig, stats: dict, index_dir: str) -> EngineConfig:
+    """An index must be queried with the k1/b/block_size it was BUILT with —
+    stats.json persists them for exactly this purpose. Score math (k1/b) and the
+    WAND block coverage (block_size) silently break on mismatch, so the loaded
+    config always adopts the stored values; drift from the caller's cfg is loud."""
+    import dataclasses
+
+    stored = {k: stats[k] for k in ("k1", "b", "block_size") if k in stats}
+    mismatches = {
+        k: (getattr(cfg, k), v) for k, v in stored.items() if getattr(cfg, k) != v
+    }
+    if mismatches:
+        import warnings
+
+        warnings.warn(
+            f"EngineConfig passed to load for {index_dir!r} disagrees with stats.json "
+            f"on {mismatches} (passed, stored); using the STORED values — an index is "
+            "only valid under the parameters it was built with.",
+            stacklevel=3,
+        )
+    return dataclasses.replace(cfg, **stored)
+
+
 def load_index(
     spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> InvertedIndex:
     with open(_stats_path(index_dir)) as f:
         stats = json.load(f)
+    cfg = reconcile_cfg(cfg, stats, index_dir)
     blocks_dir = os.path.join(index_dir, "blocks")
     blocks = spark.read.parquet(blocks_dir) if os.path.isdir(blocks_dir) else None
     return InvertedIndex(

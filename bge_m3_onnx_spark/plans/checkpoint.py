@@ -251,10 +251,11 @@ def materialize_index(
 
 
 def load_materialized(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
-    from bge_m3_onnx_spark.plans.build_index import InvertedIndex
+    from bge_m3_onnx_spark.plans.build_index import InvertedIndex, reconcile_cfg
 
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    cfg = reconcile_cfg(cfg, stats, index_dir)
     return InvertedIndex(
         postings=spark.read.parquet(os.path.join(index_dir, "postings")).drop("bucket"),
         terms=spark.read.parquet(os.path.join(index_dir, "terms")),

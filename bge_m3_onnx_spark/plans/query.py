@@ -46,11 +46,13 @@ def run_queries(
     cfg = cfg or idx.cfg
     k = k or cfg.default_k
     qt = query_terms_df(spark, queries, cfg)
-    # df lookup for idf: join the tiny qt against terms, keep it tiny, broadcast on.
-    qt_stats = qt.join(idx.terms, "term", "inner")
-    # Query terms are known on the driver — push them into the postings scan as a
-    # literal In() so Parquet partition/row-group pruning fires BEFORE the join
-    # (the broadcast join alone leaves the scan with only IsNotNull — EXPLAIN.md).
+    # Query terms are known on the driver — push them into BOTH scans as a literal
+    # In() so Parquet partition/row-group pruning fires BEFORE any join (the
+    # broadcast join alone leaves the scan with only IsNotNull — EXPLAIN.md).
+    # On idx.terms the In() matters just as much: the logical terms relation is an
+    # aggregation over the full postings table, and the filter on the grouping key
+    # pushes BELOW the aggregate — the df lookup prunes to the query terms instead
+    # of re-aggregating the whole index per query (this was the r1 query_p50 cost).
     term_list = sorted(
         {
             t
@@ -58,6 +60,8 @@ def run_queries(
             for t in tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)
         }
     )
+    terms = idx.terms.filter(F.col("term").isin(term_list)) if term_list else idx.terms
+    qt_stats = qt.join(terms, "term", "inner")
     postings = idx.postings.filter(F.col("term").isin(term_list)) if term_list else idx.postings
     scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
     return topk(scored, k)

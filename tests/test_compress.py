@@ -84,6 +84,28 @@ def test_ordinals_unique_at_scale(spark, small_transcripts):
     assert mm["a"] == 0 and mm["b"] == mm["n"] - 1  # dense 0..n-1
 
 
+def test_ordinal_boundary_sample_is_capped(spark, tiny_transcripts, monkeypatch):
+    """The driver never holds more than max_boundary_sample keys (VERDICT r1: the
+    uncapped 0.002·N sample OOMs at 10^12 keys). Force the sample fraction to 1.0
+    so the cap binds on the fixture, and assert ordinals stay rank-exact — the
+    capped sample only affects bucket balance, never values."""
+    from bge_m3_onnx_spark.operators import ordinals as O
+    from bge_m3_onnx_spark.operators.postings import tokenized_docs
+
+    monkeypatch.setattr(O, "SAMPLE_FRACTION", 1.0)
+    toks = tokenized_docs(tiny_transcripts)
+    n = toks.count()
+    cap = 5
+    assert n > cap  # the cap actually binds here
+    with_ord = O.assign_dense_ordinals(
+        toks, "doc_id", "doc_ord", num_partitions=8, max_boundary_sample=cap
+    )
+    rows = with_ord.select("doc_id", "doc_ord").collect()
+    by_key = sorted(r["doc_id"] for r in rows)
+    expect = {d: i for i, d in enumerate(by_key)}
+    assert {r["doc_id"]: r["doc_ord"] for r in rows} == expect
+
+
 def test_blocks_roundtrip_to_postings(spark, tiny_transcripts):
     """Compression is lossless: decode(blocks) == postings (on ordinals)."""
     from bge_m3_onnx_spark.operators.compress import decode_blocks

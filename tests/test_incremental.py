@@ -52,6 +52,60 @@ def test_merge_delta_equals_full_rebuild(spark, tmp_path):
     )
 
 
+def test_merge_replay_is_noop(spark):
+    """Replaying the same delta must not inflate tf / n_docs (idempotent merge)."""
+    from pyspark.sql import functions as F
+
+    base = synth_transcripts(spark, n_convs=20, turns_per_conv=5)
+    delta = synth_transcripts(spark, n_convs=5, turns_per_conv=5).withColumn(
+        "conv_id", F.concat(F.lit("d-"), F.col("conv_id"))
+    )
+    once = merge_delta(spark, build_index(base), delta)
+    twice = merge_delta(spark, once, delta)
+    assert twice.n_docs == once.n_docs
+    assert abs(twice.avgdl - once.avgdl) < 1e-9
+    p1 = {(r["term"], r["doc_id"]): r["tf"] for r in once.postings.collect()}
+    p2 = {(r["term"], r["doc_id"]): r["tf"] for r in twice.postings.collect()}
+    assert p1 == p2
+
+
+def test_merge_keeps_untouched_blocks_wand_lossless(spark):
+    """Under drift ≤ ε the merge must NOT rebuild untouched terms' blocks — their
+    payload bytes stay identical, only the pruning bound inflates — and WAND over
+    the merged index must still equal the exact path (bounds stay upper bounds)."""
+    from pyspark.sql import functions as F
+
+    from bge_m3_onnx_spark.operators.postings import counted_docs, postings_from_counted
+    from bge_m3_onnx_spark.plans.wand import run_queries_wand
+
+    base = synth_transcripts(spark, n_convs=30, turns_per_conv=5)
+    delta = synth_transcripts(spark, n_convs=2, turns_per_conv=5).withColumn(
+        "conv_id", F.concat(F.lit("new-"), F.col("conv_id"))
+    )
+    idx0 = build_index(base, with_ordinals=True, with_blocks=True)
+    merged = merge_delta(spark, idx0, delta)
+
+    dterms = {
+        r["term"]
+        for r in postings_from_counted(counted_docs(delta)).select("term").distinct().collect()
+    }
+    old = {(r["term"], r["block_id"]): r for r in idx0.blocks.collect()}
+    new = {(r["term"], r["block_id"]): r for r in merged.blocks.collect()}
+    untouched = [key for key in old if key[0] not in dterms]
+    assert untouched, "fixture must leave some terms untouched"
+    for key in untouched:
+        o, nw = old[key], new[key]
+        assert bytes(o["ords_vb"]) == bytes(nw["ords_vb"])  # payload NOT rebuilt
+        assert bytes(o["tfs_vb"]) == bytes(nw["tfs_vb"])
+        assert o["block_range"] == nw["block_range"]
+        assert nw["block_max_score"] >= o["block_max_score"] - 1e-12  # inflated bound
+
+    queries = {1: "spark shuffle", 2: "the varbyte block", 3: "checkpoint merge"}
+    exact = _topk_map(run_queries(spark, merged, queries, k=10))
+    wand = _topk_map(run_queries_wand(spark, merged, queries, k=10, force_wand=True))
+    assert exact == wand
+
+
 def test_index_snapshot_range_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -23,9 +23,11 @@ def _collect(df):
 
 
 def test_wand_matches_exact(spark, built, query_set):
+    # force_wand: the fixture corpus is far below the routing threshold, and this
+    # test exists to prove the PRUNING machinery lossless, not the router.
     k = 10
     exact = _collect(run_queries(spark, built, query_set, k=k))
-    wand = _collect(run_queries_wand(spark, built, query_set, k=k))
+    wand = _collect(run_queries_wand(spark, built, query_set, k=k, force_wand=True))
     assert set(exact) == set(wand)
     for qid in exact:
         e, w = exact[qid], wand[qid]
@@ -38,7 +40,25 @@ def test_wand_matches_exact_small_k(spark, built, query_set):
     # k=1 → aggressive θ → heaviest pruning; still must be identical
     subset = {q: query_set[q] for q in (1, 3, 9, 11)}
     exact = _collect(run_queries(spark, built, subset, k=1))
-    wand = _collect(run_queries_wand(spark, built, subset, k=1))
+    wand = _collect(run_queries_wand(spark, built, subset, k=1, force_wand=True))
     assert set(exact) == set(wand)
     for qid in exact:
         assert [(r, d) for r, d, _ in exact[qid]] == [(r, d) for r, d, _ in wand[qid]]
+
+
+def test_wand_routes_small_queries_to_exact(spark, built, query_set):
+    # Σ df of the fixture queries is tiny → the default path must route to the
+    # one-job exact plan and still return identical results.
+    import dataclasses
+
+    assert built.cfg.wand_route_min_postings > 0
+    subset = {q: query_set[q] for q in (1, 3)}
+    routed = _collect(run_queries_wand(spark, built, subset, k=5))
+    exact = _collect(run_queries(spark, built, subset, k=5))
+    assert routed == exact
+    # and with the threshold at 0 the machinery path runs — same results.
+    cfg0 = dataclasses.replace(built.cfg, wand_route_min_postings=0)
+    machinery = _collect(run_queries_wand(spark, built, subset, k=5, cfg=cfg0))
+    assert [(r, d) for v in machinery.values() for r, d, _ in v] == [
+        (r, d) for v in exact.values() for r, d, _ in v
+    ]
