@@ -101,10 +101,14 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_from_documents(_load(spark, sf_dir, "documents"))
 
 
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, terms: array<string>, dl) — ordered token arrays per document."""
+    return tokenized_docs(_transcripts(spark, sf_dir), CFG)
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term) exploded token relation via the engine tokenizer UDF."""
-    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
-    return toks.select("doc_id", F.explode("terms").alias("term"))
+    return _tokenized(spark, sf_dir).select("doc_id", F.explode("terms").alias("term"))
 
 
 # ============================================================ engine-core queries
@@ -501,57 +505,64 @@ SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
 FROM documents GROUP BY 1
 """
 
-_N_MINHASH = 8  # 4 bands x 2 rows
+# Scale-safe LSH parameterization (VERDICT r1: 8 hashes / unigram sets emitted
+# 82% of all pairs as candidates): word 5-gram shingles, 128 hashes, 16 bands x 8.
+_N_MINHASH = 128
+_ROWS_PER_BAND = 8
+_SHINGLE_N = 5
+
+_LSH_CTES = f"""
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
+  FROM tdocs, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks) - {_SHINGLE_N - 1}, 1))) AS i) u
+),
+seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+  FROM shingles CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(seed / {_ROWS_PER_BAND}) AS INT) AS band_id,
+         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / {_ROWS_PER_BAND}) AS INT)
+)
+"""
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding over the token-set: signature h_s(doc) =
-    min(md5(s || ':' || term)); band hash = md5(concat of its rows' minima).
-    md5-as-string minima are engine-portable (no integer-cast games)."""
+    """MinHash+LSH banding over 5-gram shingles: h_s(doc) = min(md5(s':'shingle));
+    band hash = md5(concat of its 8 rows' minima). md5-as-string minima are
+    engine-portable (no integer-cast games); the Spark side computes the 128
+    minima as element-wise agg columns (no seed x shingle row blowup)."""
     from bge_m3_onnx_spark.operators.dedup import minhash_bands
 
-    return minhash_bands(_tokens(spark, sf_dir), n_hashes=_N_MINHASH, rows_per_band=2)
+    return minhash_bands(
+        _tokenized(spark, sf_dir),
+        n_hashes=_N_MINHASH,
+        rows_per_band=_ROWS_PER_BAND,
+        shingle_n=_SHINGLE_N,
+    )
 
 
 SQL_MINHASH = _sql(
-    _BASE_CTES
-    + f""",
-dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
-seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
-  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
-)
-""",
-    """SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
-              md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
-       FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)""",
+    _BASE_CTES + "," + _LSH_CTES,
+    "SELECT doc_id, band_id, band_hash FROM bands",
 )
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket (a < b). The scale path:
-    the self-join is on (band_id, band_hash) — bucket-local, never all-pairs."""
+    the self-join is on (band_id, band_hash) — bucket-local, never all-pairs, and
+    with shingled 128-hash signatures buckets only collide on real overlap."""
     from bge_m3_onnx_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(q_minhash_bands(spark, sf_dir))
 
 
 SQL_NEARDUP = _sql(
-    _BASE_CTES
-    + f""",
-dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
-seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
-  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
-         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
-)
-""",
+    _BASE_CTES + "," + _LSH_CTES,
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b USING (band_id, band_hash)
        WHERE a.doc_id < b.doc_id""",
@@ -559,47 +570,41 @@ bands AS (
 
 
 def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (token-set) Jaccard over LSH candidate pairs: |A∩B| / |A∪B| ≥ 0.5."""
-    from bge_m3_onnx_spark.operators.dedup import jaccard_verify
+    """Shingle-set Jaccard over LSH candidate pairs: |A∩B| / |A∪B| ≥ 0.5 — the
+    exact verification step, candidate-bounded (MinHash estimates exactly this)."""
+    from bge_m3_onnx_spark.operators.dedup import jaccard_verify, shingles
 
-    toks = _tokens(spark, sf_dir)
-    return jaccard_verify(toks, q_neardup_pairs(spark, sf_dir), threshold=0.5)
+    sh = shingles(_tokenized(spark, sf_dir), _SHINGLE_N).withColumnRenamed(
+        "shingle", "term"
+    )
+    return jaccard_verify(sh, q_neardup_pairs(spark, sf_dir), threshold=0.5)
 
 
 SQL_JACCARD = _sql(
     _BASE_CTES
-    + f""",
-dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
-seeds AS (SELECT unnest(generate_series(0, {_N_MINHASH - 1})) AS seed),
-sig AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || term)) AS mh
-  FROM dterms CROSS JOIN seeds GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, CAST(FLOOR(seed / 2) AS INT) AS band_id,
-         md5(string_agg(mh, '' ORDER BY seed)) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(FLOOR(seed / 2) AS INT)
-),
+    + ","
+    + _LSH_CTES
+    + """,
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band_id, band_hash)
   WHERE a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_terms FROM dterms GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*) AS n_inter
   FROM pairs p
-  JOIN dterms ta ON ta.doc_id = p.doc_a
-  JOIN dterms tb ON tb.doc_id = p.doc_b AND tb.term = ta.term
+  JOIN shingles ta ON ta.doc_id = p.doc_a
+  JOIN shingles tb ON tb.doc_id = p.doc_b AND tb.shingle = ta.shingle
   GROUP BY p.doc_a, p.doc_b
 )
 """,
     """SELECT doc_a, doc_b,
-              round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 5) AS jaccard_r
+              round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard_r
        FROM inter
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 5) >= 0.5""",
+       WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 5) >= 0.5""",
 )
 
 

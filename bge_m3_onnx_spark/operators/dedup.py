@@ -1,13 +1,25 @@
 """Deduplication family over the documents/transcripts corpus.
 
 Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
-SimHash (64-bit), and token-set Jaccard verification of LSH candidates. All but
+SimHash (64-bit), and shingle-set Jaccard verification of LSH candidates. All but
 simhash are pure DataFrame ops; simhash uses one Arrow-batched kernel.
 
 Scale notes: every variant is bucket-local — candidate generation joins on
 (band_id, band_hash) or simhash prefix, never all-pairs. MinHash minima are md5
 hex strings (string min == numeric min on fixed-width hex), which keeps the
 whole pipeline JVM-side and portable to the SQL oracle.
+
+Parameterization (r2 — VERDICT r1 found the old 8-hash/unigram defaults emitted
+82% of all possible pairs as candidates, a quadratic blowup inside hot buckets):
+
+* **word 5-gram shingles** over the token SEQUENCE, not unigram sets — random
+  docs share stopwords but almost never share 5-grams, so bucket collisions
+  require real textual overlap;
+* **128 hashes, b=16 bands × r=8 rows** — P(candidate) = 1−(1−j^8)^16: ≈0.9998
+  at Jaccard 0.9, ≈0.006 at Jaccard 0.3 — a sharp threshold near j≈0.7;
+* signatures are computed WITHOUT a 128× row blowup: each (doc, shingle) row
+  carries the 128 hashes as independent columns and the signature is 128
+  element-wise ``min`` aggregates — one shuffle keyed by doc_id, all JVM-side.
 """
 
 from __future__ import annotations
@@ -31,37 +43,63 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_bands(
-    doc_terms: DataFrame, n_hashes: int = 8, rows_per_band: int = 2
-) -> DataFrame:
-    """(doc_id, band_id, band_hash) from a distinct (doc_id, term) relation."""
-    spark = doc_terms.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        doc_terms.dropDuplicates(["doc_id", "term"])
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("term"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+DEFAULT_N_HASHES = 128
+DEFAULT_ROWS_PER_BAND = 8  # → 16 bands
+DEFAULT_SHINGLE_N = 5
+
+
+def shingles(tokenized: DataFrame, n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) distinct — word n-gram shingles over the ORDERED token
+    sequence of ``tokenized`` (doc_id, terms: array<string>). Documents shorter
+    than n tokens contribute one whole-document shingle (incl. '' for empty)."""
+    expr = (
+        f"transform(sequence(1, greatest(size(terms) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(terms, i, {n})))"
     )
     return (
-        sig.withColumn("band_id", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
+        tokenized.select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_bands(
+    tokenized: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) from (doc_id, terms: array<string>).
+
+    h_s(doc) = min over shingles of md5(s || ':' || shingle); band hash = md5 of
+    its rows' minima concatenated in seed order. The 128 per-seed minima are
+    element-wise agg columns — no seed × shingle row blowup (module docstring)."""
+    assert n_hashes % rows_per_band == 0
+    sh = shingles(tokenized, shingle_n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
+    )
+    n_bands = n_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
             F.md5(
                 F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
+                    "", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 )
-            ).alias("band_hash")
+            ).alias("band_hash"),
         )
+        for b in range(n_bands)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
     )
 
 
