@@ -46,6 +46,7 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else 0.1
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(max(20_000, int(2_000_000 * sf)))))
 
+    t_init = time.monotonic()
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -60,6 +61,7 @@ def main() -> None:
     warm = build_index(synth_transcripts(spark, n_convs=100, turns_per_conv=10), with_blocks=True)
     warm.postings.count(); warm.blocks.count()
     warm.postings.unpersist(); warm.blocks.unpersist()
+    init_sec = time.monotonic() - t_init  # session + codegen/worker warmup
 
     # ---- index build (tokenize → postings → stats → compressed blocks) ----
     transcripts = synth_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10)
@@ -84,19 +86,31 @@ def main() -> None:
         2, lambda: run_queries(spark, idx, BENCH_QUERIES, k=10).collect()
     )
 
-    # ---- query: WAND compressed path ----
+    # ---- query: WAND path as shipped (driver-side routing decides) ----
     timings["bm25_wand_batch"] = best_of(
         2, lambda: run_queries_wand(spark, idx, BENCH_QUERIES, k=10).collect()
     )
 
-    # ---- per-query p50 latency (exact path, one query per plan) ----
-    lat = []
+    # ---- query: WAND pruning machinery, routing bypassed (diagnostic) ----
+    timings["bm25_wand_forced"] = best_of(
+        2, lambda: run_queries_wand(spark, idx, BENCH_QUERIES, k=10, force_wand=True).collect()
+    )
+
+    # ---- per-query latencies (exact path, one query per plan) — mirrors the
+    # reference bench record (performance_test.py:80-91: per-text latencies +
+    # avg/median/min/max + success/failure counts) ----
+    lat_ms, ok, failed = [], 0, 0
     for qid, qtext in BENCH_QUERIES.items():
         t0 = time.monotonic()
-        run_queries(spark, idx, {qid: qtext}, k=10).collect()
-        lat.append(time.monotonic() - t0)
-    lat.sort()
-    timings["query_p50"] = lat[len(lat) // 2]
+        try:
+            run_queries(spark, idx, {qid: qtext}, k=10).collect()
+            ok += 1
+        except Exception:
+            failed += 1
+            continue
+        lat_ms.append((time.monotonic() - t0) * 1000.0)
+    slat = sorted(lat_ms)
+    timings["query_p50"] = slat[len(slat) // 2] / 1000.0 if slat else float("nan")
 
     total = time.monotonic() - t_all
     out = {
@@ -110,6 +124,15 @@ def main() -> None:
         "n_postings": n_postings,
         "n_blocks": n_blocks,
         "cpus": cpus,
+        # reference-parity fields (performance_test.py:80-91)
+        "initialization_time_seconds": round(init_sec, 3),
+        "per_text_latencies_ms": [round(x, 1) for x in lat_ms],
+        "average_latency_ms": round(sum(lat_ms) / len(lat_ms), 1) if lat_ms else None,
+        "median_latency_ms": round(slat[len(slat) // 2], 1) if slat else None,
+        "min_latency_ms": round(slat[0], 1) if slat else None,
+        "max_latency_ms": round(slat[-1], 1) if slat else None,
+        "successful_queries": ok,
+        "failed_queries": failed,
     }
     spark.stop()
     print(json.dumps(out))

@@ -727,6 +727,200 @@ SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
 FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
 """
 
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: probe the query's bucket plus all 8 buckets at
+    Hamming distance 1 (flip one sign bit). Fixes the single-probe recall cliff
+    (VERDICT r1: the query's bucket held only 2 vectors) while still scanning
+    ~9/256 of the corpus instead of all of it — the scale path with recall."""
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+    eb = e.withColumn("bucket", bucket)
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
+    )
+    flips = [F.col("qbucket")] + [
+        F.concat(
+            F.substring("qbucket", 1, i - 1),
+            F.when(F.substring("qbucket", i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("qbucket", i + 1, 8 - i),
+        )
+        for i in range(1, 9)
+    ]
+    probes = q.select(F.explode(F.array(*flips)).alias("bucket"), "qv")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = eb.join(F.broadcast(probes), "bucket").select(
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos", 5).alias("cos_r"))
+    )
+
+
+SQL_ANN_MULTIPROBE = """
+WITH buck AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, embedding AS qv FROM buck WHERE vec_id = 0),
+probes AS (
+  SELECT CASE WHEN i = 0 THEN qbucket
+              ELSE substr(qbucket, 1, i - 1)
+                   || (CASE WHEN substr(qbucket, i, 1) = '1' THEN '0' ELSE '1' END)
+                   || substr(qbucket, i + 1) END AS bucket,
+         qv
+  FROM q, LATERAL (SELECT unnest(generate_series(0, 8)) AS i) u
+),
+cand AS (
+  SELECT b.vec_id, b.embedding, p.qv FROM buck b JOIN probes p ON b.bucket = p.bucket
+),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS ev, unnest(qv) AS qe FROM cand
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS d,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
+FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_encode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 error-row accounting (performance_test.py:68-70,88-89 counts
+    successful/failed embeddings): a deterministic md5 rule nulls out ~1/16 of
+    the texts to simulate malformed input; a failure is a null text OR a text
+    that tokenizes to nothing. The engine nulls-to-empty and COUNTS, instead of
+    silently dropping."""
+    t = _transcripts(spark, sf_dir)
+    doc_id = F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+    corrupted = F.when(F.substring(F.md5(doc_id), 1, 1) == "0", F.lit(None).cast("string")).otherwise(
+        F.col("text")
+    )
+    toks = tokenized_docs(
+        t.select("conv_id", "turn_idx", corrupted.alias("text")), CFG
+    )
+    failed = (F.col("dl") == 0).cast("int")
+    return toks.agg(
+        F.count("*").alias("n_total"),
+        F.sum(failed).alias("n_failed"),
+        F.sum(1 - failed).alias("n_ok"),
+    )
+
+
+SQL_ENCODE_FAILURES = _sql(
+    f"transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL})",
+    f"""SELECT count(*) AS n_total,
+               sum(CASE WHEN failed THEN 1 ELSE 0 END) AS n_failed,
+               sum(CASE WHEN failed THEN 0 ELSE 1 END) AS n_ok
+        FROM (
+          SELECT len(regexp_extract_all(lower(coalesce(
+                   CASE WHEN substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 1) = '0'
+                        THEN NULL ELSE text END, '')), '[a-z0-9]+')) = 0 AS failed
+          FROM transcripts)""",
+)
+
+
+def q_sparse_maxdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 max-of-abs-diff (bge-m3-to-onnx.ipynb:cell-14: np.abs(a-b).max()):
+    compare two documents' normalized sparse weights (tf/dl) over their joined
+    term keys — the reference's sparse-map parity check as one aggregation."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    p = build_postings(toks).select("term", "doc_id", "tf", "dl")
+    a = p.filter(F.col("doc_id") == "conv-0000:0").select(
+        "term", (F.col("tf") / F.col("dl")).alias("w_a")
+    )
+    b = p.filter(F.col("doc_id") == "conv-0001:0").select(
+        "term", (F.col("tf") / F.col("dl")).alias("w_b")
+    )
+    j = a.join(b, "term", "inner")
+    return j.agg(
+        F.count("*").alias("n_common"),
+        F.round(F.max(F.abs(F.col("w_a") - F.col("w_b"))), 5).alias("max_abs_diff_r"),
+    )
+
+
+SQL_SPARSE_MAXDIFF = _sql(
+    _BASE_CTES,
+    """SELECT CAST(count(*) AS BIGINT) AS n_common,
+              round(max(abs(a.w - b.w)), 5) AS max_abs_diff_r
+       FROM (SELECT p.term, CAST(p.tf AS DOUBLE) / d.dl AS w
+             FROM postings p JOIN doclen d USING (doc_id) WHERE p.doc_id = 'conv-0000:0') a
+       JOIN (SELECT p.term, CAST(p.tf AS DOUBLE) / d.dl AS w
+             FROM postings p JOIN doclen d USING (doc_id) WHERE p.doc_id = 'conv-0001:0') b
+       USING (term)""",
+)
+
+
+def q_dataset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 dataset+metadata sink content (generate_dataset.py:296-347 writes
+    dataset_metadata.json with per-category distributions): one relation of
+    (dimension, value, n) rows covering language / length / domain — the
+    metadata the JSON sink serializes."""
+    d = _load(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    cat = F.when(wc <= 15, "short").when(wc <= 100, "medium").otherwise("long")
+    low = F.lower(F.col("text"))
+    dom = (
+        F.when(low.rlike("query|join|table|index"), "database")
+        .when(low.rlike("spark|partition|shuffle"), "bigdata")
+        .when(low.rlike("customer|order|part"), "commerce")
+        .otherwise("general")
+    )
+    by_lang = d.groupBy(F.col("lang").alias("value")).agg(F.count("*").alias("n")).select(
+        F.lit("language").alias("dimension"), "value", "n"
+    )
+    by_cat = d.groupBy(cat.alias("value")).agg(F.count("*").alias("n")).select(
+        F.lit("length_category").alias("dimension"), "value", "n"
+    )
+    by_dom = d.groupBy(dom.alias("value")).agg(F.count("*").alias("n")).select(
+        F.lit("domain").alias("dimension"), "value", "n"
+    )
+    return by_lang.unionByName(by_cat).unionByName(by_dom)
+
+
+SQL_DATASET_METADATA = """
+SELECT 'language' AS dimension, lang AS value, count(*) AS n FROM documents GROUP BY lang
+UNION ALL
+SELECT 'length_category', CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) <= 15 THEN 'short'
+                                WHEN len(regexp_split_to_array(trim(text), '\\s+')) <= 100 THEN 'medium'
+                                ELSE 'long' END, count(*)
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'domain', CASE WHEN regexp_matches(lower(text), 'query|join|table|index') THEN 'database'
+                      WHEN regexp_matches(lower(text), 'spark|partition|shuffle') THEN 'bigdata'
+                      WHEN regexp_matches(lower(text), 'customer|order|part') THEN 'commerce'
+                      ELSE 'general' END, count(*)
+FROM documents GROUP BY 2
+"""
+
+
 _STOPWORDS = ["the", "a", "to", "and", "of", "in", "is", "it", "on", "for"]
 
 
@@ -932,6 +1126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_neighbors": q_jaccard_neighbors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "encode_failures": q_encode_failures,
+        "sparse_maxdiff": q_sparse_maxdiff,
+        "dataset_metadata": q_dataset_metadata,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -972,6 +1170,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_neighbors": SQL_JACCARD,
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_lsh_topk": SQL_ANN_LSH,
+        "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
+        "encode_failures": SQL_ENCODE_FAILURES,
+        "sparse_maxdiff": SQL_SPARSE_MAXDIFF,
+        "dataset_metadata": SQL_DATASET_METADATA,
         "lang_id": SQL_LANGID,
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKCOUNT,

@@ -10,10 +10,11 @@ path (`materialize_index`, plans/checkpoint.py drives it stage-by-stage) writes:
     <index_dir>/stats.json  {n_docs, avgdl, k1, b, ...}
     <index_dir>/_manifest/  per-stage, per-partition lineage + metrics
 
-On a real cluster the postings table would be an Iceberg table bucketed by term
-(``writeTo(...).partitionedBy(bucket(B, col('term')))``) so query-time term
-predicates prune to B' << B buckets. Plain Parquet here gets the same effect with
-``repartition(B, 'term')`` + min/max column stats + pushed term filters.
+On a real cluster the index is Iceberg tables bucketed by term — see
+:func:`write_index_iceberg` (``writeTo(...).partitionedBy(bucket(B, 'term'))``;
+jar-gated in this sandbox) — so query-time term predicates prune to B' << B
+buckets. Plain Parquet here gets the same effect with ``repartition(B, 'term')``
++ min/max column stats + pushed term filters.
 """
 
 from __future__ import annotations
@@ -75,8 +76,15 @@ def build_index(
     posting = P.postings_from_counted(counted)
     if cache:
         posting = posting.persist()
+    # terms and docs are SMALL relations (vocab-sized / one row per doc with 3
+    # narrow columns) recomputed through the aggregation (terms) or the tokenizer
+    # UDF (docs) on every use — caching them makes the per-query df lookup and the
+    # final ordinal→docID join read from memory instead of re-deriving the corpus.
     terms = P.term_stats(posting, cfg)
     docs = P.doc_stats(counted)
+    if cache:
+        terms = terms.persist()
+        docs = docs.persist()
     blocks = None
     if with_blocks:
         blocks = build_blocks(posting, terms, stats.n_docs, stats.avgdl, cfg)
@@ -152,6 +160,47 @@ def load_index(
         avgdl=float(stats["avgdl"]),
         cfg=cfg,
         blocks=blocks,
+    )
+
+
+def write_index_iceberg(
+    idx: InvertedIndex, table_prefix: str, n_buckets: int = 256
+) -> None:
+    """Write the index as Iceberg tables, postings/blocks bucketed by term —
+    the real-cluster layout the north rule names (`writeTo(...).partitionedBy(
+    bucket(B, term))`). Requires an Iceberg catalog on the session
+    (spark.sql.catalog.<name> configured with the iceberg-spark-runtime jar);
+    this sandbox ships no Iceberg jar, so the local test only asserts the
+    graceful failure mode and the DataFrameWriterV2 plan construction.
+
+    ``table_prefix`` is a catalog-qualified prefix, e.g. ``local.db.idx``.
+    """
+    (
+        idx.postings.writeTo(f"{table_prefix}_postings")
+        .partitionedBy(F.bucket(n_buckets, F.col("term")))
+        .using("iceberg")
+        .createOrReplace()
+    )
+    idx.terms.writeTo(f"{table_prefix}_terms").using("iceberg").createOrReplace()
+    (
+        idx.docs.writeTo(f"{table_prefix}_docs")
+        .partitionedBy(F.bucket(n_buckets, F.col("doc_id")))
+        .using("iceberg")
+        .createOrReplace()
+    )
+    if idx.blocks is not None:
+        (
+            idx.blocks.writeTo(f"{table_prefix}_blocks")
+            .partitionedBy(F.bucket(n_buckets, F.col("term")))
+            .using("iceberg")
+            .createOrReplace()
+        )
+    spark = idx.postings.sparkSession
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_postings SET TBLPROPERTIES ("
+        f"'engine.n_docs'='{idx.n_docs}', 'engine.avgdl'='{idx.avgdl}', "
+        f"'engine.k1'='{idx.cfg.k1}', 'engine.b'='{idx.cfg.b}', "
+        f"'engine.block_size'='{idx.cfg.block_size}')"
     )
 
 
