@@ -191,11 +191,12 @@ SQL_BM25 = _sql(
 
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND path vs the SAME exact-BM25 oracle — the lossless-pruning
-    proof, cross-engine."""
+    proof, cross-engine. force_wand bypasses the small-query router (which would
+    otherwise delegate to the exact plan at this sf and prove nothing)."""
     from bge_m3_onnx_spark.plans.wand import run_queries_wand
 
     idx = build_index(_transcripts(spark, sf_dir), CFG, cache=True, with_blocks=True)
-    res = run_queries_wand(spark, idx, ENTRY_QUERIES, k=10)
+    res = run_queries_wand(spark, idx, ENTRY_QUERIES, k=10, force_wand=True)
     return res.select(
         "query_id", "rank", "doc_id", F.round("score", 5).alias("score_r")
     )

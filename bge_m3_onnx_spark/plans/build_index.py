@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +41,24 @@ class InvertedIndex:
     avgdl: float
     cfg: EngineConfig
     blocks: DataFrame | None = None  # compressed (set by materialize/compress step)
+    _df_memo: dict = field(default_factory=dict, repr=False)
+
+    def df_for_terms(self, term_list: list[str]) -> dict[str, int]:
+        """Driver-side df lookup with a per-index memo: the first query for a
+        term pays one pruned (In-filtered, cached) scan of the tiny terms
+        relation; repeated terms are free. Query plans then embed idf as
+        LITERALS — no per-query join subjob against terms at all. Absent terms
+        memoize as 0 and are dropped by callers (inner-join semantics).
+
+        The memo is per-InvertedIndex and indexes are immutable (merges build a
+        NEW index), so staleness is impossible."""
+        missing = [t for t in term_list if t not in self._df_memo]
+        if missing:
+            for r in self.terms.filter(F.col("term").isin(missing)).collect():
+                self._df_memo[r["term"]] = int(r["df"])
+            for t in missing:
+                self._df_memo.setdefault(t, 0)
+        return {t: self._df_memo[t] for t in term_list if self._df_memo[t] > 0}
 
 
 def build_index(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
@@ -20,6 +20,14 @@ QUERY_TERM_SCHEMA = StructType(
     [
         StructField("query_id", IntegerType(), False),
         StructField("term", StringType(), False),
+    ]
+)
+
+QUERY_TERM_STATS_SCHEMA = StructType(
+    [
+        StructField("query_id", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
     ]
 )
 
@@ -45,14 +53,9 @@ def run_queries(
 ) -> DataFrame:
     cfg = cfg or idx.cfg
     k = k or cfg.default_k
-    qt = query_terms_df(spark, queries, cfg)
-    # Query terms are known on the driver — push them into BOTH scans as a literal
-    # In() so Parquet partition/row-group pruning fires BEFORE any join (the
-    # broadcast join alone leaves the scan with only IsNotNull — EXPLAIN.md).
-    # On idx.terms the In() matters just as much: the logical terms relation is an
-    # aggregation over the full postings table, and the filter on the grouping key
-    # pushes BELOW the aggregate — the df lookup prunes to the query terms instead
-    # of re-aggregating the whole index per query (this was the r1 query_p50 cost).
+    # Query terms are known on the driver — push them into the postings scan as a
+    # literal In() so Parquet partition/row-group pruning fires BEFORE the join
+    # (the broadcast join alone leaves the scan with only IsNotNull — EXPLAIN.md).
     term_list = sorted(
         {
             t
@@ -60,8 +63,19 @@ def run_queries(
             for t in tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)
         }
     )
-    terms = idx.terms.filter(F.col("term").isin(term_list)) if term_list else idx.terms
-    qt_stats = qt.join(terms, "term", "inner")
-    postings = idx.postings.filter(F.col("term").isin(term_list)) if term_list else idx.postings
+    # df comes from the index's driver-side memo (one pruned lookup per NEW term,
+    # free for repeated terms), so the query plan embeds idf as literals and runs
+    # as ONE job: pruned scan → broadcast join → agg → window. The r1 plan paid a
+    # terms-aggregation subjob inside every query (query_p50 cost).
+    df_map = idx.df_for_terms(term_list)
+    qt_rows = [
+        (int(qid), t, int(df_map[t]))
+        for qid, qtext in queries.items()
+        for t in sorted(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
+        if t in df_map
+    ]
+    qt_stats = spark.createDataFrame(qt_rows, QUERY_TERM_STATS_SCHEMA)
+    hit_terms = sorted({t for _, t, _ in qt_rows})
+    postings = idx.postings.filter(F.col("term").isin(hit_terms)) if hit_terms else idx.postings.filter(F.lit(False))
     scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
     return topk(scored, k)

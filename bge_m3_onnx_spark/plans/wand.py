@@ -62,7 +62,6 @@ from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
 from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, topk
 from bge_m3_onnx_spark.operators.compress import decode_blocks
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
-from bge_m3_onnx_spark.plans.query import query_terms_df
 
 _BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"]
 
@@ -93,10 +92,9 @@ def run_queries_wand(
     cfg = cfg or idx.cfg
     k = k or cfg.default_k
 
-    qt = query_terms_df(spark, queries, cfg)
-    # idf per (query, term) — tiny; collected once, reused as literal relations.
-    # The literal In() on the grouping key pushes below the df aggregation, so the
-    # lookup scans only the query terms' postings (mirrors plans/query.py).
+    # idf per (query, term) — tiny, resolved through the index's driver-side df
+    # memo (one pruned lookup per new term; free on repeats) and re-injected as
+    # literal relations.
     all_qterms = sorted(
         {
             t
@@ -104,12 +102,13 @@ def run_queries_wand(
             for t in tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)
         }
     )
-    terms = idx.terms.filter(F.col("term").isin(all_qterms)) if all_qterms else idx.terms
-    qt_rows = (
-        qt.join(terms, "term", "inner")
-        .select("query_id", "term", F.col("df").cast("long").alias("df"))
-        .collect()
-    )
+    df_map = idx.df_for_terms(all_qterms)
+    qt_rows = [
+        {"query_id": int(qid), "term": t, "df": int(df_map[t])}
+        for qid, qtext in queries.items()
+        for t in sorted(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
+        if t in df_map
+    ]
     # ---- routing: Σ df is the exact path's scan size; if it's small, pruning
     # cannot recoup WAND's extra driver round-trips — take the one-job plan.
     # (force_wand exists for tests/bench that measure the pruning machinery.)
