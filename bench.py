@@ -81,6 +81,10 @@ def main() -> None:
             times.append(time.monotonic() - t0)
         return min(times)
 
+    # untimed query warmup (reference discipline): first-ever query pays the df
+    # memo fill + broadcast codegen once; steady state is what the suite times.
+    run_queries(spark, idx, BENCH_QUERIES, k=10).collect()
+
     # ---- query: exact path (all 5 queries in one plan) ----
     timings["bm25_exact_batch"] = best_of(
         2, lambda: run_queries(spark, idx, BENCH_QUERIES, k=10).collect()

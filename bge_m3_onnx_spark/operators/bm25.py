@@ -59,6 +59,20 @@ def score_postings(
     return per_term.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
 
 
+def topk_single(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Single-query top-k without the full window exchange: orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heap + driver merge — no shuffle of
+    the candidate set); the rank window then runs over k rows only. Semantics
+    identical to :func:`topk` restricted to one query_id (tests assert it)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def topk(scored: DataFrame, k: int = 10) -> DataFrame:
     """(query_id, rank, doc_id, score): rank = row_number over score DESC, doc_id ASC.
 

@@ -13,7 +13,7 @@ from pyspark.sql.types import IntegerType, LongType, StringType, StructField, St
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
-from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+from bge_m3_onnx_spark.operators.bm25 import score_postings, topk, topk_single
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 
 QUERY_TERM_SCHEMA = StructType(
@@ -78,4 +78,6 @@ def run_queries(
     hit_terms = sorted({t for _, t, _ in qt_rows})
     postings = idx.postings.filter(F.col("term").isin(hit_terms)) if hit_terms else idx.postings.filter(F.lit(False))
     scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
+    if len(queries) == 1:
+        return topk_single(scored, k)
     return topk(scored, k)

@@ -152,11 +152,22 @@ def run_queries_wand(
     # ---- job 1 (metadata only, no posting bytes): top seed blocks per term.
     # rk=1 row doubles as the per-term global max AND carries the stored
     # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
+    # Two-phase (salted) top-S: a 10^12-scale stopword term has millions of
+    # block-metadata rows, and a plain partitionBy(term) window would funnel
+    # them through ONE task. Phase A takes top-S per (term, salt) — 32-way
+    # parallel per term; phase B re-ranks the ≤ 32·S survivors per term.
+    w_pre = Window.partitionBy("term", "__salt").orderBy(
+        F.desc("block_max_score"), F.asc("block_id")
+    )
     w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
     seed_meta = (
         qblocks.select("term", "block_id", "block_range", "block_max_score")
+        .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
+        .withColumn("rk1", F.row_number().over(w_pre))
+        .filter(F.col("rk1") <= cfg.wand_seed_blocks)
         .withColumn("rk", F.row_number().over(w_seed))
         .filter(F.col("rk") <= cfg.wand_seed_blocks)
+        .select("term", "block_id", "block_range", "block_max_score", "rk")
         .collect()
     )
     tmax = {r["term"]: r["block_max_score"] for r in seed_meta if r["rk"] == 1}

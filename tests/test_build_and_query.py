@@ -68,6 +68,22 @@ def test_topk_rank_identical_and_score_equal(spark, built, query_set):
             assert abs(s_got - s_want) < ATOL
 
 
+def test_single_query_fast_path_equals_windowed_topk(spark, built, query_set):
+    """run_queries takes the TakeOrdered fast path for one query — results must
+    equal the oracle exactly, including ranks (same tiebreak: score DESC, doc_id
+    ASC)."""
+    idx, oracle = built
+    for qid in (1, 3, 9):
+        got = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in run_queries(spark, idx, {qid: query_set[qid]}, k=10).collect()
+        )
+        want = oracle.topk(query_set[qid], 10)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+        for (_, _, sg), (_, _, sw) in zip(got, want):
+            assert abs(sg - sw) < ATOL
+
+
 def test_absent_term_returns_empty(spark, built):
     idx, _ = built
     got = run_queries(spark, idx, {99: "zzz-not-in-corpus qqqxyzzy"}, k=10)
