@@ -813,6 +813,105 @@ FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_embdup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the dedup-family variant over the
+    vector column): sign-LSH bucket join → exact cosine on bucket-local pairs →
+    keep cos ≥ 0.2, a < b. Never all-pairs: the self-join key is the 8-bit sign
+    bucket, so at 10^12 vectors each bucket joins only with itself."""
+    e = _load(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice("embedding", 1, 8),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = eb.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = eb.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb"))))
+            ).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= 0.2).select(
+        "vec_a", "vec_b", F.round("cos", 5).alias("cos_r")
+    )
+
+
+SQL_EMBDUP = """
+WITH buck AS (
+  SELECT vec_id, embedding,
+         array_to_string(list_transform(embedding[1:8],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+  FROM buck a JOIN buck b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b, unnest(ea) AS xa, unnest(eb) AS xb FROM cand
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE)) AS d,
+         sum(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE)) AS na,
+         sum(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE)) AS nb
+  FROM pairs GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
+FROM dots WHERE d / (sqrt(na) * sqrt(nb)) >= 0.2
+"""
+
+
+def q_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 attention-mask filter + F9 ones-like, made explicit: pad every token
+    array with 4 '<pad>' positions and an aligned 1/0 mask (array_repeat), then
+    posexplode + filter(mask=1) must recover exactly the real tokens — the
+    reference keeps position i iff attention_mask[0,i]==1
+    (bge_m3_embedder.py:135,148)."""
+    toks = _tokenized(spark, sf_dir)
+    padded = toks.select(
+        "doc_id",
+        F.concat(F.col("terms"), F.array_repeat(F.lit("<pad>"), 4)).alias("terms_p"),
+        F.concat(
+            F.array_repeat(F.lit(1), F.size("terms")), F.array_repeat(F.lit(0), 4)
+        ).alias("mask"),
+    )
+    z = padded.select(
+        "doc_id", F.posexplode(F.arrays_zip("terms_p", "mask")).alias("pos0", "z")
+    ).select("doc_id", F.col("z.terms_p").alias("term"), F.col("z.mask").alias("m"))
+    kept = z.filter(F.col("m") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.sum((F.col("term") == "<pad>").cast("int")).cast("int").alias("n_pad_leaked"),
+    )
+
+
+SQL_MASK_FILTER = _sql(
+    _BASE_CTES,
+    """SELECT doc_id, CAST(len(toks) AS INT) AS n_kept, CAST(0 AS INT) AS n_pad_leaked
+       FROM tdocs WHERE len(toks) > 0""",
+)
+
+
 def q_encode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 error-row accounting (performance_test.py:68-70,88-89 counts
     successful/failed embeddings): a deterministic md5 rule nulls out ~1/16 of
@@ -1128,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "embdup_pairs": q_embdup_pairs,
+        "mask_filter": q_mask_filter,
         "encode_failures": q_encode_failures,
         "sparse_maxdiff": q_sparse_maxdiff,
         "dataset_metadata": q_dataset_metadata,
@@ -1172,6 +1273,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
+        "embdup_pairs": SQL_EMBDUP,
+        "mask_filter": SQL_MASK_FILTER,
         "encode_failures": SQL_ENCODE_FAILURES,
         "sparse_maxdiff": SQL_SPARSE_MAXDIFF,
         "dataset_metadata": SQL_DATASET_METADATA,
