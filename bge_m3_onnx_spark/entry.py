@@ -1113,6 +1113,63 @@ FROM documents
 """
 
 
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the 600k-row-at-sf0.1 lineitem table:
+    the engine's partial+final hash aggregation exercised on wide relational
+    data (A3/A4/A5 at volume). Float outputs restricted to order-insensitive
+    quantities (integral sums, min/max, small-magnitude avgs) so the cross-engine
+    hash compare is numerically safe."""
+    l = _load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 5).alias("avg_qty_r"),
+            F.round(F.avg("l_discount"), 5).alias("avg_disc_r"),
+            F.round(F.min("l_extendedprice"), 5).alias("min_price_r"),
+            F.round(F.max("l_extendedprice"), 5).alias("max_price_r"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(avg(l_quantity), 5) AS avg_qty_r,
+       round(avg(l_discount), 5) AS avg_disc_r,
+       round(min(l_extendedprice), 5) AS min_price_r,
+       round(max(l_extendedprice), 5) AS max_price_r
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_priority_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-at-volume: orders ⋈ customer ⋈ nation with the two small dimensions
+    explicitly broadcast — the star-join shape every large-scale pipeline runs.
+    At 10^12 facts the plan is identical: dims broadcast, fact never shuffles."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return j.groupBy("n_name", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 5).alias("avg_price_r"),
+    )
+
+
+SQL_ORDER_PRIORITY_NATION = """
+SELECT n_name, o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 5) AS avg_price_r
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_orderpriority
+"""
+
+
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style tumbling 1h window agg (batch form; the Structured
     Streaming path reuses the same expressions via foreachBatch)."""
@@ -1236,6 +1293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        # relational core at volume (TPC-H-ish driver tables)
+        "lineitem_pricing": q_lineitem_pricing,
+        "order_priority_nation": q_order_priority_nation,
         # streaming-style analytics
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
@@ -1282,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": SQL_QUALITY,
         "token_counts": SQL_TOKCOUNT,
         "fingerprint": SQL_FINGERPRINT,
+        "lineitem_pricing": SQL_LINEITEM_PRICING,
+        "order_priority_nation": SQL_ORDER_PRIORITY_NATION,
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "events_sessionize": SQL_EVENTS_SESSIONS,
         "events_json": SQL_EVENTS_JSON,
