@@ -100,6 +100,19 @@ def main() -> None:
         2, lambda: run_queries_wand(spark, idx, BENCH_QUERIES, k=10, force_wand=True).collect()
     )
 
+    # ---- WAND pruning effectiveness: deterministic block counts (machine-
+    # independent — wall time on this VM swings 2-4x, decoded-block fractions
+    # don't). Selective tail-term queries at k=1 = the pruning-friendly regime.
+    wand_stats: dict = {}
+    run_queries_wand(
+        spark,
+        idx,
+        {1: "tungsten codegen", 2: "colbert latency", 3: "catalyst broadcast salt"},
+        k=1,
+        force_wand=True,
+        stats_out=wand_stats,
+    ).collect()
+
     # ---- per-query latencies (exact path, one query per plan) — mirrors the
     # reference bench record (performance_test.py:80-91: per-text latencies +
     # avg/median/min/max + success/failure counts) ----
@@ -144,6 +157,7 @@ def main() -> None:
         "max_latency_ms": round(slat[-1], 1) if slat else None,
         "successful_queries": ok,
         "failed_queries": failed,
+        "wand_pruning": wand_stats,
     }
     spark.stop()
     print(json.dumps(out))

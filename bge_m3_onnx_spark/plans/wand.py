@@ -87,7 +87,12 @@ def run_queries_wand(
     k: int | None = None,
     cfg: EngineConfig | None = None,
     force_wand: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
+    """``stats_out`` (diagnostic): when a dict is passed, it is filled with
+    {routed, blocks_total, blocks_surviving, blocks_rescored} — deterministic,
+    machine-independent evidence of how much the bound pruning skips (the extra
+    count jobs only run when requested)."""
     assert idx.blocks is not None, "index has no compressed blocks; build with with_blocks=True"
     cfg = cfg or idx.cfg
     k = k or cfg.default_k
@@ -115,7 +120,11 @@ def run_queries_wand(
     if not force_wand and sum(r["df"] for r in qt_rows) < cfg.wand_route_min_postings:
         from bge_m3_onnx_spark.plans.query import run_queries
 
+        if stats_out is not None:
+            stats_out["routed"] = True
         return run_queries(spark, idx, queries, k=k, cfg=cfg)
+    if stats_out is not None:
+        stats_out["routed"] = False
     if not qt_rows:
         return spark.createDataFrame(
             [],
@@ -220,7 +229,11 @@ def run_queries_wand(
     )
 
     # ---- phase 3: candidates from surviving blocks, exact rescore ----
-    decoded = decode_blocks(surviving.select(*_BLOCK_COLS))
+    # decoded is persisted: it feeds the candidate derivation AND is REUSED as
+    # the bulk of the rescore input — phase 3 decodes only the needed-but-not-
+    # surviving remainder instead of re-decoding every needed block (in the
+    # weak-pruning worst case this halves the machinery's total decode volume).
+    decoded = decode_blocks(surviving.select(*_BLOCK_COLS)).persist()
     # per-query candidates: docs seen in any surviving block of that query's terms.
     # Lazily persisted: the final job evaluates it once (for the needed-blocks
     # branch), caches the partitions, and the semi-join branch reuses them — no
@@ -247,8 +260,15 @@ def run_queries_wand(
         .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
         .dropDuplicates(["term", "block_id"])
     )
-    rescore_blocks = qblocks.join(needed, ["term", "block_id"], "left_semi")
-    full = decode_blocks(rescore_blocks.select(*_BLOCK_COLS))
+    # only decode needed blocks that phase 2 did NOT already decode
+    extra_blocks = qblocks.join(needed, ["term", "block_id"], "left_semi").join(
+        surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
+    )
+    if stats_out is not None:  # diagnostic counts, never in the hot path
+        stats_out["blocks_total"] = qblocks.count()
+        stats_out["blocks_surviving"] = surviving.count()
+        stats_out["blocks_extra_decoded"] = extra_blocks.count()
+    full = decoded.unionByName(decode_blocks(extra_blocks.select(*_BLOCK_COLS)))
     scored = _score_decoded(
         full.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
     )
@@ -258,6 +278,12 @@ def run_queries_wand(
     # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
     docs = idx.docs.select("doc_id", "doc_ord")
     out = F.broadcast(scored).join(docs, "doc_ord").select("query_id", "doc_id", "score")
-    result = topk(out, k)
+    # Materialize the k·|q|-row result NOW (localCheckpoint is eager): the final
+    # job must run WHILE the qblocks/decoded/candidates caches are alive — an
+    # unpersist before the caller's collect would silently recompute both decode
+    # branches. The returned frame reads the checkpointed rows, lineage-free.
+    result = topk(out, k).localCheckpoint(eager=True)
     qblocks.unpersist()
+    decoded.unpersist()
+    candidates.unpersist()
     return result

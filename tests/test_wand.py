@@ -46,6 +46,23 @@ def test_wand_matches_exact_small_k(spark, built, query_set):
         assert [(r, d) for r, d, _ in exact[qid]] == [(r, d) for r, d, _ in wand[qid]]
 
 
+def test_wand_stats_report_pruning(spark, built, query_set):
+    """stats_out fills deterministic block counts; the pruning invariants hold
+    (surviving ≤ total; rescored ≤ total) and routing is reported."""
+    stats: dict = {}
+    res = run_queries_wand(
+        spark, built, {1: query_set[1]}, k=1, force_wand=True, stats_out=stats
+    )
+    res.collect()
+    assert stats["routed"] is False
+    assert 0 < stats["blocks_surviving"] <= stats["blocks_total"]
+    # phase 3 never re-decodes what phase 2 already decoded
+    assert 0 <= stats["blocks_extra_decoded"] <= stats["blocks_total"] - stats["blocks_surviving"]
+    routed: dict = {}
+    run_queries_wand(spark, built, {1: query_set[1]}, k=1, stats_out=routed).collect()
+    assert routed["routed"] is True
+
+
 def test_wand_routes_small_queries_to_exact(spark, built, query_set):
     # Σ df of the fixture queries is tiny → the default path must route to the
     # one-job exact plan and still return identical results.
