@@ -43,6 +43,7 @@ def cmd_build(args) -> int:
         transcripts = read_transcripts(spark, args.input, fmt=args.format, snapshot_id=args.snapshot_id)
         input_desc = args.input
     t0 = time.monotonic()
+    ran: list[str] = []
     man = materialize_index(
         spark,
         transcripts,
@@ -50,12 +51,16 @@ def cmd_build(args) -> int:
         input_path=input_desc,
         snapshot_id=args.snapshot_id,
         n_buckets=args.buckets,
+        on_stage=ran.append,
     )
     wall = time.monotonic() - t0
     rows = man.stages.get("docs", {}).get("rows", 0)
+    # throughput is only meaningful when the build actually ran — a restart that
+    # resumes a completed manifest skips every stage (wall ≈ 0)
     print(json.dumps({"built": args.index, "stages": {k: v.get("wall_ms") for k, v in man.stages.items()},
                       "docs": rows, "wall_sec": round(wall, 2),
-                      "turns_per_sec": round(rows / wall, 1) if wall > 0 else None}))
+                      "stages_run": ran, "resumed": not ran,
+                      "turns_per_sec": round(rows / wall, 1) if ran and wall > 0 else None}))
     spark.stop()
     return 0
 
