@@ -90,3 +90,37 @@ def test_materialized_index_answers_queries(spark, tiny_transcripts, tmp_path, q
         for r in run_queries(spark, live, query_set, k=5).collect()
     }
     assert got == want
+
+
+def test_load_reconciles_cfg_from_stats(spark, tiny_transcripts, tmp_path, query_set):
+    """An index built with a non-default block_size and loaded with the DEFAULT
+    config must adopt the stored parameters (stats.json) — otherwise WAND's
+    block coverage math and BM25 score math silently diverge from the stored
+    blocks (ADVICE r1). Loaded cfg carries the stored values and the WAND path
+    stays rank/score-identical to the exact path."""
+    import dataclasses
+    import warnings
+
+    from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+    from bge_m3_onnx_spark.plans.wand import run_queries_wand
+
+    cfg32 = dataclasses.replace(DEFAULT_CONFIG, block_size=32)
+    index_dir = str(tmp_path / "idx_b32")
+    materialize_index(spark, tiny_transcripts, index_dir, input_path="tiny", cfg=cfg32)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx = load_materialized(spark, index_dir, cfg=DEFAULT_CONFIG)
+    assert idx.cfg.block_size == 32  # stored value wins
+    assert any("stats.json" in str(x.message) for x in w)  # drift is loud
+
+    subset = {q: query_set[q] for q in (1, 3)}
+    exact = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in run_queries(spark, idx, subset, k=5).collect()
+    }
+    wand = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in run_queries_wand(spark, idx, subset, k=5, force_wand=True).collect()
+    }
+    assert exact == wand
