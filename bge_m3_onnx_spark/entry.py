@@ -260,6 +260,32 @@ SQL_POSITIONAL = _sql(
 )
 
 
+_PHRASE = ["value", "table"]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over positional postings: docs containing the consecutive
+    phrase 'value table', with occurrence counts. The positional index keeps the
+    sequence order the reference tokenizer preserves (bge_m3_embedder.py:88-92);
+    matching is per-doc array algebra — positions never explode into rows."""
+    from bge_m3_onnx_spark.operators.positional import phrase_match, positional_postings
+
+    pos = positional_postings(_tokenized(spark, sf_dir))
+    return phrase_match(pos, _PHRASE)
+
+
+SQL_PHRASE = _sql(
+    _BASE_CTES,
+    f"""SELECT doc_id, CAST(count(*) AS INT) AS n_phrase
+       FROM (
+         SELECT doc_id, i
+         FROM tdocs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+         WHERE toks[i] = '{_PHRASE[0]}' AND toks[i + 1] = '{_PHRASE[1]}'
+       )
+       GROUP BY doc_id""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -813,6 +839,88 @@ FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the other classic scale path beside LSH): deterministic K=8
+    coarse quantizer (seeded at vec_id multiples of N//8, one Lloyd refinement
+    with 6-dp-rounded centroids), probe the 2 nearest lists, exact cosine
+    inside. See operators/ivf.py for the 10^9-vector shape."""
+    from bge_m3_onnx_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(_load(spark, sf_dir, "embeddings"), query_vec_id=0, k_lists=8, nprobe=2)
+
+
+SQL_ANN_IVF = """
+WITH p AS (SELECT count(*) // 8 AS step FROM embeddings),
+seeds AS (
+  SELECT CAST(vec_id // step AS INT) AS cluster, embedding AS sv
+  FROM embeddings, p
+  WHERE vec_id % step = 0 AND vec_id < 8 * step
+),
+d1 AS (
+  SELECT vec_id, cluster,
+         sum((CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))) AS dist
+  FROM (SELECT e.vec_id, s.cluster, unnest(e.embedding) AS a, unnest(s.sv) AS b
+        FROM embeddings e CROSS JOIN seeds s)
+  GROUP BY vec_id, cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d1) WHERE rn = 1
+),
+cent AS (
+  SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+    SELECT a1.cluster, i AS pos, round(avg(CAST(e.embedding[i] AS DOUBLE)), 6) AS cval
+    FROM a1 JOIN embeddings e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) u
+    GROUP BY a1.cluster, i)
+  GROUP BY cluster
+),
+d2 AS (
+  SELECT vec_id, cluster,
+         sum((CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)) AS dist
+  FROM (SELECT e.vec_id, c.cluster, unnest(e.embedding) AS a, unnest(c.cv) AS b
+        FROM embeddings e CROSS JOIN cent c)
+  GROUP BY vec_id, cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d2) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT cluster, sum((CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)) AS dist
+  FROM (SELECT c.cluster, unnest(q.qv) AS a, unnest(c.cv) AS b
+        FROM cent c CROSS JOIN q)
+  GROUP BY cluster
+),
+probes AS (
+  SELECT cluster FROM (
+    SELECT cluster, row_number() OVER (ORDER BY dist, cluster) AS rn FROM qd)
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qv
+  FROM a2 JOIN probes USING (cluster) JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+pairs AS (
+  SELECT vec_id, unnest(embedding) AS ev, unnest(qv) AS qe FROM cand
+),
+dots AS (
+  SELECT vec_id,
+         sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS d,
+         sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+         sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 5) AS cos_r
+FROM dots ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_embdup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup-family variant over the
     vector column): sign-LSH bucket join → exact cosine on bucket-local pairs →
@@ -1263,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "block_metadata": q_block_metadata,
         "positional_tokens": q_positional_tokens,
+        "phrase_match": q_phrase_match,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1284,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embdup_pairs": q_embdup_pairs,
         "mask_filter": q_mask_filter,
         "encode_failures": q_encode_failures,
@@ -1314,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk": SQL_BM25,  # WAND must equal the exact BM25 oracle (lossless)
         "block_metadata": SQL_BLOCKS,
         "positional_tokens": SQL_POSITIONAL,
+        "phrase_match": SQL_PHRASE,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
@@ -1333,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_multiprobe_topk": SQL_ANN_MULTIPROBE,
+        "ann_ivf_topk": SQL_ANN_IVF,
         "embdup_pairs": SQL_EMBDUP,
         "mask_filter": SQL_MASK_FILTER,
         "encode_failures": SQL_ENCODE_FAILURES,
