@@ -189,6 +189,82 @@ SQL_BM25 = _sql(
 )
 
 
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics BM25 top-10: a doc must contain EVERY query term (a query
+    with an unindexed term matches nothing). Same one-job exact plan — the
+    all-terms filter rides the score aggregate (operators/bm25.py)."""
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    res = run_queries(spark, idx, ENTRY_QUERIES, k=10, conjunctive=True)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 5).alias("score_r")
+    )
+
+
+SQL_BM25_CONJ = _sql(
+    _BASE_CTES
+    + f""", qterms(query_id, term) AS (VALUES {_qterms_values()}),
+qcount AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY query_id),
+cscores AS (
+  SELECT q.query_id, p.doc_id,
+         SUM( ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+              * p.tf * ({K1} + 1.0)
+              / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM postings p
+  JOIN qterms q ON p.term = q.term
+  JOIN termdf t ON p.term = t.term
+  JOIN doclen d ON p.doc_id = d.doc_id
+  CROSS JOIN cstats s
+  GROUP BY q.query_id, p.doc_id
+)""",
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT c.query_id, c.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY c.score DESC, c.doc_id ASC) AS rank,
+                ROUND(c.score, 5) AS score_r
+         FROM cscores c JOIN qcount USING (query_id) WHERE c.nm = qcount.nq
+       ) WHERE rank <= 10""",
+)
+
+
+_SNIPPET_TERMS = sorted(set(tokenize_text(ENTRY_QUERIES[1])))
+
+
+def q_snippet_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: exact BM25 top-5 for query 1, joined with the positional
+    index to get each present query term's first match position + occurrence
+    count — the data a snippet renderer windows the text around. The top-k side
+    is k rows (broadcast); the positional scan is pruned to the query terms."""
+    from bge_m3_onnx_spark.operators.positional import (
+        first_match_positions,
+        positional_postings,
+    )
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    top = run_queries(spark, idx, {1: ENTRY_QUERIES[1]}, k=5).select("doc_id", "rank")
+    pos = positional_postings(_tokenized(spark, sf_dir))
+    return first_match_positions(pos, top, _SNIPPET_TERMS)
+
+
+SQL_SNIPPET = _sql(
+    _BASE_CTES
+    + f""", qterms(query_id, term) AS (VALUES {_qterms_values()}), {_BM25_SCORES_CTE.lstrip().lstrip(',')},
+top5 AS (
+  SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scores WHERE query_id = 1) WHERE rank <= 5
+),
+tokpos AS (
+  SELECT doc_id, toks[i] AS term, i
+  FROM tdocs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+)""",
+    f"""SELECT t.doc_id, t.rank, p.term,
+              CAST(min(p.i) AS INT) AS first_pos, CAST(count(*) AS INT) AS n_occ
+       FROM top5 t JOIN tokpos p USING (doc_id)
+       WHERE p.term IN ({", ".join("'" + t + "'" for t in _SNIPPET_TERMS)})
+       GROUP BY t.doc_id, t.rank, p.term""",
+)
+
+
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND path vs the SAME exact-BM25 oracle — the lossless-pruning
     proof, cross-engine. force_wand bypasses the small-query router (which would
@@ -1368,10 +1444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_conjunctive": q_bm25_conjunctive,
         "wand_topk": q_wand_topk,
         "block_metadata": q_block_metadata,
         "positional_tokens": q_positional_tokens,
         "phrase_match": q_phrase_match,
+        "snippet_positions": q_snippet_positions,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1421,10 +1499,12 @@ def oracle_sql() -> dict[str, str]:
         "term_df": SQL_TERMDF,
         "corpus_stats": SQL_CSTATS,
         "bm25_topk": SQL_BM25,
+        "bm25_conjunctive": SQL_BM25_CONJ,
         "wand_topk": SQL_BM25,  # WAND must equal the exact BM25 oracle (lossless)
         "block_metadata": SQL_BLOCKS,
         "positional_tokens": SQL_POSITIONAL,
         "phrase_match": SQL_PHRASE,
+        "snippet_positions": SQL_SNIPPET,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

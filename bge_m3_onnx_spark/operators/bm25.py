@@ -59,6 +59,44 @@ def score_postings(
     return per_term.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
 
 
+def score_postings_conjunctive(
+    postings: DataFrame,
+    query_terms: DataFrame,
+    n_terms_per_query: dict[int, int],
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """AND-semantics BM25: only docs containing EVERY query term are candidates.
+
+    ``n_terms_per_query`` counts ALL distinct tokenized terms of each query —
+    including terms absent from the corpus, so a query with an unindexed term
+    matches nothing (classic conjunctive behavior). The matched-term count rides
+    the same partial+final hash aggregate as the score sum (postings are unique
+    per (term, doc), so count(*) == distinct matched terms): the AND filter adds
+    ZERO extra shuffles or joins over the disjunctive plan, and at 10^12 scale
+    it cuts the top-k window's input to the (much smaller) all-terms docs.
+    """
+    qt = query_terms.select(
+        "query_id", "term", idf_col(F.col("df").cast("double"), n_docs).alias("idf")
+    )
+    matched = postings.join(F.broadcast(qt), "term")
+    per_term = matched.select(
+        "query_id",
+        "doc_id",
+        bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
+    )
+    need = F.create_map(
+        *[x for q, n in sorted(n_terms_per_query.items()) for x in (F.lit(int(q)), F.lit(int(n)))]
+    )
+    return (
+        per_term.groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"), F.count("*").alias("nm"))
+        .filter(F.col("nm") == F.element_at(need, F.col("query_id")))
+        .drop("nm")
+    )
+
+
 def topk_single(scored: DataFrame, k: int = 10) -> DataFrame:
     """Single-query top-k without the full window exchange: orderBy+limit compiles
     to TakeOrderedAndProject (per-partition heap + driver merge — no shuffle of

@@ -77,3 +77,21 @@ def phrase_match(positional: DataFrame, phrase: list[str]) -> DataFrame:
             .filter(F.size("starts") > 0)
         )
     return acc.select("doc_id", F.size("starts").cast("int").alias("n_phrase"))
+
+
+def first_match_positions(
+    positional: DataFrame, docs: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Highlight support: for each (doc, query term) present, the first match
+    position and occurrence count — what a snippet renderer needs to window the
+    text around hits. ``docs`` is a top-k result slice (k rows), so it is
+    broadcast; the positional scan is pruned by the pushed ``term IN`` literal.
+    Returns ``docs``'s columns + (term, first_pos, n_occ).
+    """
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+    return F.broadcast(docs).join(pos, "doc_id").select(
+        *docs.columns,
+        "term",
+        F.element_at("positions", 1).alias("first_pos"),
+        F.size("positions").cast("int").alias("n_occ"),
+    )

@@ -13,7 +13,12 @@ from pyspark.sql.types import IntegerType, LongType, StringType, StructField, St
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
-from bge_m3_onnx_spark.operators.bm25 import score_postings, topk, topk_single
+from bge_m3_onnx_spark.operators.bm25 import (
+    score_postings,
+    score_postings_conjunctive,
+    topk,
+    topk_single,
+)
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 
 QUERY_TERM_SCHEMA = StructType(
@@ -50,7 +55,11 @@ def run_queries(
     queries: dict[int, str],
     k: int | None = None,
     cfg: EngineConfig | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
+    """``conjunctive=True`` switches to AND semantics: a doc must contain every
+    query term (absent-from-corpus terms included → such queries match nothing).
+    Same one-job plan; the all-terms filter rides the existing aggregate."""
     cfg = cfg or idx.cfg
     k = k or cfg.default_k
     # Query terms are known on the driver — push them into the postings scan as a
@@ -77,7 +86,16 @@ def run_queries(
     qt_stats = spark.createDataFrame(qt_rows, QUERY_TERM_STATS_SCHEMA)
     hit_terms = sorted({t for _, t, _ in qt_rows})
     postings = idx.postings.filter(F.col("term").isin(hit_terms)) if hit_terms else idx.postings.filter(F.lit(False))
-    scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
+    if conjunctive:
+        n_terms = {
+            int(qid): len(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
+            for qid, qtext in queries.items()
+        }
+        scored = score_postings_conjunctive(
+            postings, qt_stats, n_terms, idx.n_docs, idx.avgdl, cfg
+        )
+    else:
+        scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
     if len(queries) == 1:
         return topk_single(scored, k)
     return topk(scored, k)

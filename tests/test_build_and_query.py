@@ -84,6 +84,41 @@ def test_single_query_fast_path_equals_windowed_topk(spark, built, query_set):
             assert abs(sg - sw) < ATOL
 
 
+def test_conjunctive_matches_python_oracle(spark, built, query_set):
+    """AND semantics: exactly the docs holding EVERY query term, scored like the
+    disjunctive path, ranked identically to a filtered oracle."""
+    idx, oracle = built
+    from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
+
+    for qid, qtext in query_set.items():
+        terms = set(tokenize_text(qtext))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in run_queries(spark, idx, {qid: qtext}, k=10, conjunctive=True)
+            .orderBy("rank")
+            .collect()
+        ]
+        want_docs = {
+            d
+            for d, s in oracle.score(qtext).items()
+            if all(d in oracle.postings.get(t, {}) for t in terms)
+        }
+        want = sorted(
+            ((d, oracle.score(qtext)[d]) for d in want_docs),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert [d for d, _ in got] == [d for d, _ in want], qtext
+        for (dg, sg), (_, sw) in zip(got, want):
+            assert abs(sg - sw) < ATOL
+
+
+def test_conjunctive_with_absent_term_is_empty(spark, built):
+    idx, _ = built
+    # 'the' matches many docs disjunctively; the absent term must zero it out
+    got = run_queries(spark, idx, {7: "the qqqxyzzy"}, k=10, conjunctive=True)
+    assert got.count() == 0
+
+
 def test_absent_term_returns_empty(spark, built):
     idx, _ = built
     got = run_queries(spark, idx, {99: "zzz-not-in-corpus qqqxyzzy"}, k=10)
