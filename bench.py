@@ -28,7 +28,10 @@ from bge_m3_onnx_spark.plans.build_index import build_index  # noqa: E402
 from bge_m3_onnx_spark.plans.query import run_queries  # noqa: E402
 from bge_m3_onnx_spark.plans.wand import run_queries_wand  # noqa: E402
 from bge_m3_onnx_spark.session import get_spark  # noqa: E402
-from bge_m3_onnx_spark.sources.transcripts import synth_transcripts  # noqa: E402
+from bge_m3_onnx_spark.sources.transcripts import (  # noqa: E402
+    synth_transcripts,
+    synth_transcripts_skewed,
+)
 
 BENCH_QUERIES = {
     1: "spark shuffle partition",
@@ -102,16 +105,24 @@ def main() -> None:
 
     # ---- WAND pruning effectiveness: deterministic block counts (machine-
     # independent — wall time on this VM swings 2-4x, decoded-block fractions
-    # don't). Selective tail-term queries at k=1 = the pruning-friendly regime.
+    # don't). Measured on the SKEWED corpus: the flat synth corpus gives every
+    # posting of a term an identical score (tf=1, dl=const), so every block max
+    # equals θ and pruning is mathematically impossible there — that regime is
+    # what the Σdf router handles. Hot single term at k=10 and selective tail
+    # term at k=1 are the regimes block-max pruning exists for.
+    skewed = build_index(
+        synth_transcripts_skewed(spark, n_convs=n_turns // 20, turns_per_conv=10),
+        with_blocks=True,
+    )
+    skewed.blocks.count()
     wand_stats: dict = {}
-    run_queries_wand(
-        spark,
-        idx,
-        {1: "tungsten codegen", 2: "colbert latency", 3: "catalyst broadcast salt"},
-        k=1,
-        force_wand=True,
-        stats_out=wand_stats,
-    ).collect()
+    for qname, queries, wk in (
+        ("hot_k10", {1: "the"}, 10),
+        ("tail_k1", {1: "colbert4"}, 1),
+    ):
+        st: dict = {}
+        run_queries_wand(spark, skewed, queries, k=wk, force_wand=True, stats_out=st).collect()
+        wand_stats[qname] = st
 
     # ---- per-query latencies (exact path, one query per plan) — mirrors the
     # reference bench record (performance_test.py:80-91: per-text latencies +

@@ -6,15 +6,23 @@ set-oriented formulation. Three phases, with a provably safe pruning rule
 fixture):
 
   Phase 1 (θ estimation): decode only the top ``wand_seed_blocks`` blocks per query
-    term (by block_max_score), score those postings exactly, take each query's k-th
-    best PARTIAL score as θ. Partial scores are lower bounds of true scores, so
-    θ ≤ true k-th best score → safe.
+    term (by block_max_score), score those postings, take each query's top-k docs
+    by PARTIAL score, then exact-rescore just those ≤ k·|q| docs (their covering
+    blocks are a pure function of the stored block ranges — same trick as phase 3)
+    and set θ to the k-th best EXACT score. Safety: the k-th best exact score of
+    any k-doc subset is ≤ the true k-th best overall, so θ ≤ true k-th → lossless;
+    and exact ≥ partial, so this θ dominates the r1 partial-score θ (which was so
+    weak on multi-term queries — θ ≈ best single-term score ≈ Σmax of the other
+    term — that the phase-2 bound pruned nothing).
 
-  Phase 2 (block pruning): a doc in block b of term t can reach the top-k only if
-    block_max(t, b) + Σ_{t'≠t} max_score(t') ≥ θ. Proof of candidate completeness:
-    if score(d) ≥ θ then for any query term t with a posting for d,
-       block_max(t, b_d) + ub_other(t) ≥ s_t(d) + Σ_{t'≠t} s_{t'}(d) = score(d) ≥ θ,
-    so every block containing d survives for that query.
+  Phase 2 (block pruning): ordinal-aligned segment bound. Each term's blocks tile
+    the doc-ordinal axis (block_id = ord // range_t), so the metadata upper bound
+    at ordinal x is s_q(x) = Σ_{t ∈ q} block_max(t, x // range_t) — piecewise
+    constant between block starts. A block survives iff a segment it overlaps has
+    s_q ≥ θ. Completeness: score(d) ≤ s_q(ord(d)), so a top-k doc's segment clears
+    θ and every block containing d overlaps it. This strictly dominates the classic
+    block_max(t,b) + Σ_{t'≠t} global_max(t') bound (which prunes nothing when term
+    maxima come from docs that cannot co-occur, e.g. short single-term spikes).
 
   Phase 3 (exact rescore): decode surviving blocks → per-query candidate docs;
     decode the (computable, tiny) set of blocks that can hold ANY posting of a
@@ -158,6 +166,10 @@ def run_queries_wand(
     # blocks restricted to query terms: pushed isin → partition/row-group pruning.
     qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).persist()
 
+    # Seeds must plausibly contain k strong docs per query or θ collapses to a
+    # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
+    # decode at least k seed blocks per term (≥1 doc each, typically ~block_size).
+    n_seed = max(cfg.wand_seed_blocks, k)
     # ---- job 1 (metadata only, no posting bytes): top seed blocks per term.
     # rk=1 row doubles as the per-term global max AND carries the stored
     # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
@@ -173,60 +185,127 @@ def run_queries_wand(
         qblocks.select("term", "block_id", "block_range", "block_max_score")
         .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
         .withColumn("rk1", F.row_number().over(w_pre))
-        .filter(F.col("rk1") <= cfg.wand_seed_blocks)
+        .filter(F.col("rk1") <= n_seed)
         .withColumn("rk", F.row_number().over(w_seed))
-        .filter(F.col("rk") <= cfg.wand_seed_blocks)
+        .filter(F.col("rk") <= n_seed)
         .select("term", "block_id", "block_range", "block_max_score", "rk")
         .collect()
     )
     tmax = {r["term"]: r["block_max_score"] for r in seed_meta if r["rk"] == 1}
     range_by_term = {r["term"]: int(r["block_range"]) for r in seed_meta if r["rk"] == 1}
     seed_keys = [f"{r['term']}\x00{r['block_id']}" for r in seed_meta]
-    # Σ max per query and ub_other per (query, term) — pure driver arithmetic
-    by_query: dict[int, list[tuple[str, float]]] = {}
-    for qid, term, _idf, _df in qt_stats_rows:
-        if term in tmax:
-            by_query.setdefault(qid, []).append((term, tmax[term]))
-    ub_other: dict[tuple[int, str], float] = {}
-    for qid, terms in by_query.items():
-        s = sum(m for _, m in terms)
-        for term, m in terms:
-            ub_other[(qid, term)] = s - m
 
-    # ---- job 2: θ from decoded seed blocks ----
+    # ---- job 2: θ from seed candidates, EXACT-rescored ----
+    # Partial seed sums pick the candidates; their covering blocks (pure function
+    # of the stored ranges, ≤ k·|q|·|terms| blocks) are decoded and the candidates
+    # scored exactly. θ = k-th best exact score — a lower bound of the true k-th
+    # (k-doc-subset argument) that is dramatically tighter than the r1 partial θ.
     block_key = F.concat_ws("\x00", F.col("term"), F.col("block_id").cast("string"))
     seed_blocks = qblocks.filter(block_key.isin(seed_keys)).select(*_BLOCK_COLS)
     seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
     w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
+    seed_top = (
+        seed_scores.withColumn("rk", F.row_number().over(w_theta))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_ord")
+    )
+    range_map = F.create_map(
+        *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
+    )
+    seed_needed = (
+        seed_top.join(F.broadcast(qt_stats.select("query_id", "term")), "query_id")
+        .select(
+            "term",
+            F.floor(F.col("doc_ord") / F.element_at(range_map, F.col("term")))
+            .cast("long")
+            .alias("block_id"),
+        )
+        .dropDuplicates(["term", "block_id"])
+    )
+    seed_cover = qblocks.join(seed_needed, ["term", "block_id"], "left_semi")
+    seed_exact = _score_decoded(decode_blocks(seed_cover.select(*_BLOCK_COLS)), qt_stats, avgdl, cfg).join(
+        seed_top, ["query_id", "doc_ord"], "left_semi"
+    )
     theta = {
         r["query_id"]: r["score"]
-        for r in seed_scores.withColumn("rk", F.row_number().over(w_theta))
+        for r in seed_exact.withColumn("rk", F.row_number().over(w_theta))
         .filter(F.col("rk") == k)
         .select("query_id", "score")
         .collect()
     }
 
-    # ---- phase 2: per-(query, term) pruning bound, pushed as a broadcast filter ----
-    # block survives for query q iff block_max >= theta(q) - ub_other(q, t);
-    # a block survives GLOBALLY iff it survives for any query → one bound per term.
-    bound_per_term: dict[str, float] = {}
-    for (qid, term), ub in ub_other.items():
-        th = theta.get(qid)
-        b = -float("inf") if th is None else th - ub
-        bound_per_term[term] = min(bound_per_term.get(term, float("inf")), b)
-    if not bound_per_term:  # no query term has any block → empty result
+    # ---- phase 2: ordinal-aligned segment pruning (exact, lossless) ----
+    # Every term's blocks TILE the doc-ordinal axis (block_id = ord // range), so
+    # the tightest metadata upper bound at ordinal x is
+    #     s_q(x) = Σ_{t ∈ q} block_max(t, x // range_t)
+    # — piecewise constant, changing only at block starts. A block of t survives
+    # for q iff some segment it overlaps has s_q ≥ θ_q. This strictly dominates
+    # the classic  block_max(t,b) + Σ_{t'≠t} global_max(t')  bound (which prunes
+    # NOTHING when per-term maxima come from short spike docs that cannot
+    # co-occur: global maxima sum to far above any real doc's score).
+    # Safety: score(d) ≤ s_q(ord(d)) for every doc d, so any top-k doc's segment
+    # clears θ and every block containing d overlaps that segment.
+    # All joins below are EQUI-joins on metadata relations (O(Σ blocks · |q|)):
+    # boundaries → active block per (boundary, term) via x // range — no range
+    # join, no window, safe for stopword terms with millions of blocks.
+    if not tmax:  # no query term has any block → empty result
         qblocks.unpersist()
         return spark.createDataFrame(
             [],
             "query_id int, rank int, doc_id string, score double",
         )
-    # bound pushed as a literal map lookup — no join, stays in the metadata scan
-    bound_map = F.create_map(
-        *[x for t, b in bound_per_term.items() for x in (F.lit(t), F.lit(float(b)))]
+    qt_pairs = qt_stats.select("query_id", "term")
+    range_map = F.create_map(  # rebuilt: phase-2 scope (θ job reused its own)
+        *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
     )
-    surviving = qblocks.filter(
-        F.col("block_max_score") >= F.element_at(bound_map, F.col("term"))
+    theta_map = F.create_map(
+        *[
+            x
+            for qid in sorted({q for q, _, _, _ in qt_stats_rows})
+            for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
+        ]
     )
+    block_meta = qblocks.select(
+        "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
+    )
+    # distinct segment boundaries per query (starts of any query term's blocks)
+    bounds = (
+        block_meta.select("term", "x")
+        .join(F.broadcast(qt_pairs), "term")
+        .select("query_id", "x")
+        .dropDuplicates(["query_id", "x"])
+    )
+    # active block of EVERY query term at each boundary; inner join drops terms
+    # with no block there (they contribute 0 to the sum — correct)
+    active = (
+        bounds.join(F.broadcast(qt_pairs), "query_id")
+        .select(
+            "query_id",
+            "x",
+            "term",
+            F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+            .cast("long")
+            .alias("block_id"),
+        )
+        .join(block_meta.select("term", "block_id", "block_max_score"), ["term", "block_id"])
+    )
+    surviving_x = (
+        active.groupBy("query_id", "x")
+        .agg(F.sum("block_max_score").alias("s"))
+        .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
+    )
+    # back to block keys: the boundary x lies in block x // range_t of each term
+    surviving_keys = (
+        surviving_x.join(F.broadcast(qt_pairs), "query_id")
+        .select(
+            "term",
+            F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+            .cast("long")
+            .alias("block_id"),
+        )
+        .dropDuplicates(["term", "block_id"])
+    )
+    surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
 
     # ---- phase 3: candidates from surviving blocks, exact rescore ----
     # decoded is persisted: it feeds the candidate derivation AND is REUSED as

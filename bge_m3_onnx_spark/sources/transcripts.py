@@ -119,6 +119,80 @@ def synth_transcripts(
     )
 
 
+def synth_transcripts_skewed(
+    spark: SparkSession,
+    n_convs: int = 500,
+    turns_per_conv: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic transcripts with REALISTIC score variance.
+
+    :func:`synth_transcripts` (kept byte-stable — goldens and resume tests pin
+    it) emits near-constant turns: dl ≈ 6 and tf ∈ {1, 2} for every posting, so
+    every document of a term scores identically and block-max pruning is
+    mathematically impossible (every block max == θ). This variant exists to
+    exercise and benchmark the pruning regime:
+
+    * turn length 4..~120 tokens, long-tailed (product of two uniform hashes);
+    * Zipf-ish term choice per slot (product-of-uniforms index into a hot-first
+      vocabulary) → tf varies 1..10+ for hot terms, df spans 4 orders;
+    * tail terms carry a hashed digit suffix ("index7"), expanding the effective
+      vocabulary ~16× — with only ~42 distinct terms every 128-posting block
+      contains a near-maximal scorer of every term (integer tf/dl quantize the
+      score range), and no block-max structure can discriminate;
+    * ~1/61 of turns are SPIKES: one term repeated 2-10× in an otherwise tiny
+      turn. BM25's dl-normalization makes these the per-term score maxima (tf
+      proportional to length cancels out under tf-saturation — without spikes
+      every block's max is within a few % of θ and nothing can prune, which is
+      exactly what the flat synth_transcripts corpus demonstrates).
+
+    Same guarantees as synth_transcripts: distributed generation, no RNG, every
+    cell a pure function of (conv, turn) — identical at any parallelism.
+    """
+    n_rows = n_convs * turns_per_conv
+    df = spark.range(0, n_rows, 1, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    conv = (F.col("id") / turns_per_conv).cast("long")
+    turn = (F.col("id") % turns_per_conv).cast("int")
+    h1 = F.abs(F.xxhash64(F.col("id"), F.lit(7)))
+    h2 = F.abs(F.xxhash64(F.col("id"), F.lit(11)))
+    vocab = F.array(*[F.lit(t) for t in _HOT_TERMS + _TAIL_TERMS])
+    v = len(_HOT_TERMS) + len(_TAIL_TERMS)
+    # long-tailed length: 4 + (u16 * u16) / 2 ∈ [4, ~116]
+    length = (F.lit(4) + (h1 % 16) * (h2 % 16) / 2).cast("int")
+    n_hot = len(_HOT_TERMS)
+
+    # Zipf-ish slot pick: product of two uniforms skews toward index 0 (hot
+    # terms); tail picks get a hashed digit suffix to expand the vocabulary.
+    def word(i):
+        idx = (
+            (F.abs(F.xxhash64(F.col("id"), i, F.lit(3))) % v)
+            * (F.abs(F.xxhash64(F.col("id"), i, F.lit(5))) % v)
+            / v
+        ).cast("int")
+        base = F.element_at(vocab, idx + 1)
+        suffix = (F.abs(F.xxhash64(F.col("id"), i, F.lit(13))) % 16).cast("string")
+        return F.when(idx < n_hot, base).otherwise(F.concat(base, suffix))
+
+    body = F.array_join(F.transform(F.sequence(F.lit(1), length), word), " ")
+    sidx = (h2 % v).cast("int")
+    sbase = F.element_at(vocab, sidx + 1)
+    spike_term = F.when(sidx < n_hot, sbase).otherwise(
+        F.concat(sbase, (F.abs(F.xxhash64(F.col("id"), F.lit(17))) % 16).cast("string"))
+    )
+    spike = F.array_join(F.array_repeat(spike_term, (h2 % 9 + 2).cast("int")), " ")
+    text = F.when(h1 % 61 == 0, spike).otherwise(body)
+    roles = F.array(*[F.lit(r) for r in _ROLES])
+    role = F.element_at(roles, (turn % 3 + 1).cast("int"))
+    return df.select(
+        F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 6, "0")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit(1704067200) + conv * 3600 + turn * 30).cast("timestamp").alias("ts"),
+    )
+
+
 # Shared Spark/DuckDB derivation of transcript shape from the driver's `documents`
 # table (doc_id:int64, text, lang, source, n_chars). Keep in exact sync with
 # TRANSCRIPTS_FROM_DOCUMENTS_SQL below — the DuckDB oracle replays it.

@@ -63,6 +63,27 @@ def test_wand_stats_report_pruning(spark, built, query_set):
     assert routed["routed"] is True
 
 
+def test_wand_actually_prunes_on_skewed_corpus(spark):
+    """On a corpus with realistic score variance (spiky tf, varied dl) the
+    segment bound must skip most blocks for a hot single-term query — AND stay
+    lossless. The flat fixture corpus can't discriminate (every block max == θ),
+    which is exactly why this fixture exists."""
+    from bge_m3_onnx_spark.sources.transcripts import synth_transcripts_skewed
+
+    idx = build_index(
+        synth_transcripts_skewed(spark, n_convs=2000, turns_per_conv=10), with_blocks=True
+    )
+    stats: dict = {}
+    wand = _collect(
+        run_queries_wand(spark, idx, {1: "the"}, k=10, force_wand=True, stats_out=stats)
+    )
+    exact = _collect(run_queries(spark, idx, {1: "the"}, k=10))
+    assert [(r, d) for r, d, _ in wand[1]] == [(r, d) for r, d, _ in exact[1]]
+    for (_, _, sw), (_, _, se) in zip(wand[1], exact[1]):
+        assert abs(sw - se) < 1e-9
+    assert stats["blocks_surviving"] + stats["blocks_extra_decoded"] < 0.25 * stats["blocks_total"], stats
+
+
 def test_wand_routes_small_queries_to_exact(spark, built, query_set):
     # Σ df of the fixture queries is tiny → the default path must route to the
     # one-job exact plan and still return identical results.
