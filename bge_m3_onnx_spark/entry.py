@@ -362,6 +362,31 @@ SQL_PHRASE = _sql(
 )
 
 
+_FUZZY_QTERMS = ["widow", "valu", "tables", "scann", "quary", "b", "sort", "jin"]
+
+
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction lookup: dictionary terms within edit distance 1 of each
+    (misspelled) query term. Engine path is the SymSpell deletion-neighborhood
+    EQUI-join + exact levenshtein verify (operators/fuzzy.py) — never the
+    oracle's cross join, which is O(|dict|) per lookup."""
+    from bge_m3_onnx_spark.operators.fuzzy import fuzzy_term_match
+
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    dictionary = build_postings(toks).groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame([(t,) for t in _FUZZY_QTERMS], "qterm string")
+    return fuzzy_term_match(dictionary, qt).select("qterm", "term", "df", F.col("dist").cast("int").alias("dist"))
+
+
+SQL_FUZZY = _sql(
+    _BASE_CTES
+    + f""", fq(qterm) AS (VALUES {", ".join("('" + t + "')" for t in _FUZZY_QTERMS)})""",
+    """SELECT fq.qterm, t.term, t.df, CAST(levenshtein(fq.qterm, t.term) AS INT) AS dist
+       FROM termdf t, fq
+       WHERE levenshtein(fq.qterm, t.term) <= 1""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -1450,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_tokens": q_positional_tokens,
         "phrase_match": q_phrase_match,
         "snippet_positions": q_snippet_positions,
+        "fuzzy_terms": q_fuzzy_terms,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1505,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "positional_tokens": SQL_POSITIONAL,
         "phrase_match": SQL_PHRASE,
         "snippet_positions": SQL_SNIPPET,
+        "fuzzy_terms": SQL_FUZZY,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
