@@ -387,6 +387,226 @@ SQL_FUZZY = _sql(
 )
 
 
+_PROX = ("big", "scan", 4)  # term_a, term_b, slop
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase: docs where 'scan' follows 'big' within 4 tokens. Per-doc
+    array algebra over positional postings (operators/positional.py) — the
+    oracle's LATERAL position blow-up never happens on the engine side."""
+    from bge_m3_onnx_spark.operators.positional import positional_postings, proximity_match
+
+    pos = positional_postings(_tokenized(spark, sf_dir))
+    return proximity_match(pos, _PROX[0], _PROX[1], _PROX[2])
+
+
+SQL_PROXIMITY = _sql(
+    _BASE_CTES,
+    f"""SELECT doc_id, CAST(count(*) AS INT) AS n_prox
+       FROM (
+         SELECT DISTINCT doc_id, i
+         FROM tdocs,
+              LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u,
+              LATERAL (SELECT unnest(generate_series(i + 1, least(i + {_PROX[2]}, len(toks)))) AS j) v
+         WHERE toks[i] = '{_PROX[0]}' AND toks[j] = '{_PROX[1]}'
+       )
+       GROUP BY doc_id""",
+)
+
+
+_PREFIX = "s"
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query 's*': expand against the term dictionary (bounded,
+    df-DESC capped — operators/wildcard.py), then ordinary BM25 top-10. The
+    expansion relation stays driver-small → broadcast join into postings."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.operators.wildcard import expand_prefix
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = expand_prefix(idx.terms, _PREFIX, query_id=1, max_expansions=64)
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    res = topk(scored, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+SQL_PREFIX = _sql(
+    _BASE_CTES
+    + f""", qterms AS (
+         SELECT 1 AS query_id, term FROM termdf
+         WHERE term LIKE '{_PREFIX}%' ORDER BY df DESC, term ASC LIMIT 64
+       ), """
+    + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank <= 10""",
+)
+
+
+_FACET_QUERY = "spark table scan"
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceting: role × tool histogram over the FULL candidate set (docs matching
+    any query term), not just top-k — what a search UI renders next to results.
+    Candidates come from the pushed-In postings scan; the doc_id semi-join
+    against transcripts is the only shuffle and facet cardinality is tiny."""
+    terms = sorted(set(tokenize_text(_FACET_QUERY)))
+    t = _transcripts(spark, sf_dir)
+    cand = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    meta = t.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "role",
+        "tool",
+    )
+    return (
+        meta.join(cand, "doc_id")
+        .groupBy("role", "tool")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_FACETS = _sql(
+    _BASE_CTES,
+    f"""SELECT t.role, t.tool, count(*) AS n_docs
+       FROM (SELECT DISTINCT doc_id FROM tokens
+             WHERE term IN ({", ".join("'" + x + "'" for x in sorted(set(tokenize_text(_FACET_QUERY))))})) c
+       JOIN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, role, tool
+             FROM transcripts) t ON c.doc_id = t.doc_id
+       GROUP BY t.role, t.tool""",
+)
+
+
+_RECENCY_QUERY = {1: "spark query data"}
+_HALF_LIFE_DAYS = 30.0
+
+
+def q_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed ranking: BM25 × 2^(-age_days / 30), age measured from the
+    corpus max ts (deterministic — no wall clock). The decay join touches only
+    the candidate set (already bounded by the pushed query-term scan); doc ts
+    rides the same docs-metadata relation as dl would on a materialized index."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    t = _transcripts(spark, sf_dir)
+    meta = t.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        (F.unix_timestamp("ts").cast("double") / 86400.0).alias("ts_days"),
+    )
+    max_days = meta.agg(F.max("ts_days").alias("m"))
+    qt = query_terms_df(spark, _RECENCY_QUERY, CFG).join(
+        idx.terms, "term"
+    )  # (query_id, term, df)
+    base = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    boosted = (
+        base.join(meta, "doc_id")
+        .crossJoin(F.broadcast(max_days))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("score")
+                * F.pow(F.lit(2.0), -(F.col("m") - F.col("ts_days")) / F.lit(_HALF_LIFE_DAYS))
+            ).alias("score"),
+        )
+    )
+    res = topk(boosted, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+def _recency_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _RECENCY_QUERY.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+SQL_RECENCY = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_recency_qterms_values()}), "
+    + _BM25_SCORES_CTE
+    + f""", meta AS (
+         SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
+                epoch(ts) / 86400.0 AS ts_days
+         FROM transcripts
+       ),
+       mx AS (SELECT max(ts_days) AS m FROM meta),
+       boosted AS (
+         SELECT s.query_id, s.doc_id,
+                s.score * pow(2.0, -(mx.m - meta.ts_days) / {_HALF_LIFE_DAYS}) AS score
+         FROM scores s JOIN meta ON s.doc_id = meta.doc_id CROSS JOIN mx
+       )""",
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM boosted) WHERE rank <= 10""",
+)
+
+
+_MLT_TOP_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: take the longest document (dl DESC, doc_id ASC — a
+    deterministic stand-in for 'the doc the user clicked'), extract its top-5
+    terms by tf·idf, and run them as a BM25 query excluding the source doc.
+    Fully declarative — the seed doc and its term profile are 1-row/5-row
+    relations, broadcast into the scorer; no driver collect."""
+    from bge_m3_onnx_spark.operators.bm25 import idf_col, score_postings, topk
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    src = idx.docs.orderBy(F.desc("dl"), F.asc("doc_id")).limit(1).select(
+        F.col("doc_id").alias("src_doc")
+    )
+    src_terms = (
+        idx.postings.join(F.broadcast(src), F.col("doc_id") == F.col("src_doc"))
+        .join(idx.terms.withColumnRenamed("df", "df_t"), "term")
+        .select(
+            "term",
+            "df_t",
+            (F.col("tf") * idf_col(F.col("df_t").cast("double"), idx.n_docs)).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(_MLT_TOP_TERMS)
+    )
+    qt = src_terms.select(F.lit(1).alias("query_id"), "term", F.col("df_t").alias("df"))
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    scored = scored.join(F.broadcast(src), F.col("doc_id") == F.col("src_doc"), "left_anti")
+    res = topk(scored, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+SQL_MLT = _sql(
+    _BASE_CTES
+    + f""", src AS (SELECT doc_id AS src_doc FROM doclen ORDER BY dl DESC, doc_id ASC LIMIT 1),
+       qterms AS (
+         SELECT 1 AS query_id, p.term
+         FROM postings p JOIN src ON p.doc_id = src.src_doc
+         JOIN termdf t ON p.term = t.term CROSS JOIN cstats s
+         ORDER BY p.tf * ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) DESC, p.term ASC
+         LIMIT {_MLT_TOP_TERMS}
+       ), """
+    + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, s.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, s.doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores s, src WHERE s.doc_id <> src.src_doc) WHERE rank <= 10""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -1476,6 +1696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "snippet_positions": q_snippet_positions,
         "fuzzy_terms": q_fuzzy_terms,
+        "proximity_match": q_proximity_match,
+        "prefix_search": q_prefix_search,
+        "facet_counts": q_facet_counts,
+        "recency_topk": q_recency_topk,
+        "more_like_this": q_more_like_this,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1532,6 +1757,11 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": SQL_PHRASE,
         "snippet_positions": SQL_SNIPPET,
         "fuzzy_terms": SQL_FUZZY,
+        "proximity_match": SQL_PROXIMITY,
+        "prefix_search": SQL_PREFIX,
+        "facet_counts": SQL_FACETS,
+        "recency_topk": SQL_RECENCY,
+        "more_like_this": SQL_MLT,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

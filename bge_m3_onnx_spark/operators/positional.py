@@ -79,6 +79,36 @@ def phrase_match(positional: DataFrame, phrase: list[str]) -> DataFrame:
     return acc.select("doc_id", F.size("starts").cast("int").alias("n_phrase"))
 
 
+def proximity_match(
+    positional: DataFrame, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """Ordered proximity ("a ... b" within ``slop`` tokens): docs where some
+    occurrence of ``term_b`` follows an occurrence of ``term_a`` at distance
+    1..slop. Returns (doc_id, n_prox) counting the ``term_a`` start positions
+    with at least one in-window partner (Lucene sloppy-phrase-style, collapsed
+    to start-anchored counts so repeated close pairs don't double-count).
+
+    Same scale shape as :func:`phrase_match`: one pushed ``term IN`` scan, one
+    doc_id-co-partitioned join, and the window test is per-row array algebra —
+    ``size(filter(p_a, x -> exists(p_b, y -> y - x BETWEEN 1 AND slop)))`` —
+    positions never explode into rows.
+    """
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    needed = positional.filter(F.col("term").isin([term_a, term_b]))
+    pa = needed.filter(F.col("term") == term_a).select("doc_id", F.col("positions").alias("pa"))
+    pb = needed.filter(F.col("term") == term_b).select("doc_id", F.col("positions").alias("pb"))
+    near = F.filter(
+        F.col("pa"),
+        lambda x: F.exists(F.col("pb"), lambda y: (y - x >= 1) & (y - x <= slop)),
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", F.size(near).cast("int").alias("n_prox"))
+        .filter(F.col("n_prox") > 0)
+    )
+
+
 def first_match_positions(
     positional: DataFrame, docs: DataFrame, terms: list[str]
 ) -> DataFrame:

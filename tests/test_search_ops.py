@@ -1,0 +1,92 @@
+"""Round-2 search-surface operators: proximity, prefix expansion, recency,
+more-like-this. Each test pins the semantic contract the oracle slice relies on
+(the DuckDB cross-check in tools/check_oracles.py is the value-level gate)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bge_m3_onnx_spark.operators.positional import positional_postings, proximity_match
+from bge_m3_onnx_spark.operators.wildcard import expand_prefix
+
+DOCS = [
+    # doc_id, text-as-token-list
+    ("d1", ["big", "data", "scan"]),          # big->scan at dist 2
+    ("d2", ["big", "scan"]),                  # dist 1
+    ("d3", ["scan", "big"]),                  # wrong order only
+    ("d4", ["big", "x", "x", "x", "x", "scan"]),  # dist 5 > slop 4
+    ("d5", ["big", "big", "scan", "big", "x", "scan"]),  # multiple anchors
+    ("d6", ["other", "terms"]),
+]
+
+
+def _positional(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, terms array<string>")
+    return positional_postings(df)
+
+
+def brute_prox(terms: list[str], a: str, b: str, slop: int) -> int:
+    return sum(
+        1
+        for i, t in enumerate(terms)
+        if t == a and any(terms[j] == b for j in range(i + 1, min(i + slop, len(terms) - 1) + 1))
+    )
+
+
+def test_proximity_matches_bruteforce(spark):
+    got = {r["doc_id"]: r["n_prox"] for r in proximity_match(_positional(spark), "big", "scan", 4).collect()}
+    want = {d: brute_prox(t, "big", "scan", 4) for d, t in DOCS}
+    want = {d: n for d, n in want.items() if n > 0}
+    assert got == want
+    assert "d3" not in got  # ordered: b must FOLLOW a
+    assert "d4" not in got  # outside the slop window
+
+
+def test_proximity_slop1_is_adjacent_phrase(spark):
+    got = {r["doc_id"]: r["n_prox"] for r in proximity_match(_positional(spark), "big", "scan", 1).collect()}
+    assert got == {"d2": 1, "d5": 1}
+
+
+def test_expand_prefix_cap_is_deterministic(spark):
+    terms = spark.createDataFrame(
+        [("spark", 10), ("sparse", 10), ("spam", 3), ("scan", 99), ("table", 50)],
+        "term string, df long",
+    )
+    rows = expand_prefix(terms, "sp", query_id=7, max_expansions=2).collect()
+    # df DESC then term ASC: spark/sparse tie on df -> term order; spam dropped by cap
+    assert [(r["query_id"], r["term"], r["df"]) for r in rows] == [
+        (7, "spark", 10),
+        (7, "sparse", 10),
+    ]
+
+
+def test_expand_prefix_rejects_empty(spark):
+    terms = spark.createDataFrame([("a", 1)], "term string, df long")
+    try:
+        expand_prefix(terms, "")
+        assert False, "empty prefix must raise"
+    except ValueError:
+        pass
+
+
+def test_recency_and_mlt_slices_shape(spark):
+    """Slice-level invariants at sf0.001: recency re-ranks but never invents
+    docs (boosted top-k ⊆ unboosted candidates), and MLT never returns its
+    seed doc."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    rec = qs["recency_topk"](spark, sf).collect()
+    assert 0 < len(rec) <= 10
+    assert [r["rank"] for r in rec] == list(range(1, len(rec) + 1))
+
+    mlt = qs["more_like_this"](spark, sf).collect()
+    assert 0 < len(mlt) <= 10
+    from bge_m3_onnx_spark.config import DEFAULT_CONFIG as CFG
+    from bge_m3_onnx_spark.plans.build_index import build_index
+    from bge_m3_onnx_spark.entry import _transcripts
+
+    idx = build_index(_transcripts(spark, sf), CFG, cache=False)
+    src = idx.docs.orderBy(F.desc("dl"), F.asc("doc_id")).limit(1).collect()[0]["doc_id"]
+    assert src not in {r["doc_id"] for r in mlt}
