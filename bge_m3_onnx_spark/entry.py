@@ -607,6 +607,101 @@ SQL_MLT = _sql(
 )
 
 
+_BM25F_QUERIES = {1: "search query", 2: "data search scan"}
+_BM25F_W = {"text": 1.0, "tool": 2.0}
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F: field-weighted ranking over (text w=1, tool w=2) — a tool-field
+    hit outranks the same hit in prose. Per-field length-normalized pseudo-
+    frequencies summed BEFORE k1 saturation (operators/bm25f.py, Robertson &
+    Zaragoza §6); idf is doc-level (any field)."""
+    from bge_m3_onnx_spark.operators.bm25 import topk
+    from bge_m3_onnx_spark.operators.bm25f import (
+        doc_level_df,
+        field_stats,
+        fielded_counted,
+        fielded_postings,
+        score_bm25f,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    fc = fielded_counted(t, CFG)
+    fp = fielded_postings(fc)
+    avgdl_f = field_stats(fc)
+    n_docs = t.count()
+    terms = sorted({tok for q in _BM25F_QUERIES.values() for tok in tokenize_text(q)})
+    fdf = doc_level_df(fp.filter(F.col("term").isin(terms)))
+    df_map = {r["term"]: int(r["df"]) for r in fdf.collect()}
+    qt_rows = [
+        (int(qid), tm, df_map[tm])
+        for qid, q in _BM25F_QUERIES.items()
+        for tm in sorted(set(tokenize_text(q)))
+        if tm in df_map
+    ]
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string, df long")
+    hit = sorted({tm for _, tm, _ in qt_rows})
+    fp_pruned = fp.filter(F.col("term").isin(hit)) if hit else fp.filter(F.lit(False))
+    scored = score_bm25f(fp_pruned, qt, n_docs, avgdl_f, _BM25F_W, CFG)
+    res = topk(scored, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+def _bm25f_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _BM25F_QUERIES.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+_SQL_BM25F_CTES = (
+    f"""transcripts AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+ftdocs AS (
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, 'text' AS field,
+         list_slice(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'), 1, {CFG.max_tokens}) AS toks
+  FROM transcripts
+  UNION ALL
+  SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, 'tool' AS field,
+         list_slice(regexp_extract_all(lower(coalesce(tool, '')), '[a-z0-9]+'), 1, {CFG.max_tokens}) AS toks
+  FROM transcripts
+),
+ftokens AS (SELECT doc_id, field, unnest(toks) AS term FROM ftdocs),
+fpost AS (SELECT term, doc_id, field, count(*) AS tf FROM ftokens GROUP BY term, doc_id, field),
+fdl AS (SELECT doc_id, field, len(toks) AS dl FROM ftdocs),
+favg AS (SELECT field, avg(dl) AS avgdl FROM fdl WHERE dl > 0 GROUP BY field),
+nd AS (SELECT count(*) AS n_docs FROM transcripts),
+fdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM fpost GROUP BY term),
+qterms(query_id, term) AS (VALUES __QTERMS__),
+contrib AS (
+  SELECT q.query_id, p.term, p.doc_id,
+         SUM( (CASE p.field WHEN 'text' THEN {_BM25F_W["text"]} WHEN 'tool' THEN {_BM25F_W["tool"]} END)
+              * p.tf / ((1.0 - {B}) + {B} * d.dl / a.avgdl) ) AS tfw
+  FROM fpost p
+  JOIN qterms q ON p.term = q.term
+  JOIN fdl d ON p.doc_id = d.doc_id AND p.field = d.field
+  JOIN favg a ON p.field = a.field
+  GROUP BY q.query_id, p.term, p.doc_id
+),
+scores AS (
+  SELECT c.query_id, c.doc_id,
+         SUM( ln((nd.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * c.tfw * ({K1} + 1.0) / ({K1} + c.tfw) ) AS score
+  FROM contrib c JOIN fdf f ON c.term = f.term CROSS JOIN nd
+  GROUP BY c.query_id, c.doc_id
+)"""
+).replace("__QTERMS__", _bm25f_qterms_values())
+
+SQL_BM25F = _sql(
+    _SQL_BM25F_CTES,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank <= 10""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -1701,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "recency_topk": q_recency_topk,
         "more_like_this": q_more_like_this,
+        "bm25f_topk": q_bm25f_topk,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1762,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": SQL_FACETS,
         "recency_topk": SQL_RECENCY,
         "more_like_this": SQL_MLT,
+        "bm25f_topk": SQL_BM25F,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
