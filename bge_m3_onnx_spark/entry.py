@@ -24,6 +24,7 @@ from bge_m3_onnx_spark.operators.postings import build_postings, tokenized_docs
 from bge_m3_onnx_spark.plans.build_index import build_index
 from bge_m3_onnx_spark.plans.query import run_queries
 from bge_m3_onnx_spark.sources.transcripts import (
+    _CONVS_MOD,
     TRANSCRIPTS_FROM_DOCUMENTS_SQL,
     transcripts_from_documents,
 )
@@ -700,6 +701,167 @@ SQL_BM25F = _sql(
                 ROUND(score, 5) AS score_r
          FROM scores) WHERE rank <= 10""",
 )
+
+
+_HYBRID_QUERY = {1: "spark query data"}
+_HYBRID_K = 20  # per-system depth fed into the fusion
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion of the sparse head (BM25 top-20) and the
+    dense head (cosine top-20 vs the vec_id=0 embedding) — the distributed
+    analog of fusing the reference's lexical_weights + dense_vecs outputs
+    (bge_m3_embedder.py:100-155). The transcript docID is inverted back to the
+    shared integer id (doc_id = turn_idx*97 + conv suffix) to join the heads."""
+    from bge_m3_onnx_spark.operators.hybrid import rrf_fuse
+
+    # sparse head: BM25 top-20, doc_id → integer id
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    sparse = run_queries(spark, idx, _HYBRID_QUERY, k=_HYBRID_K)
+    sp = sparse.select(
+        (
+            F.split(F.col("doc_id"), ":")[1].cast("long") * _CONVS_MOD
+            + F.substring(F.split(F.col("doc_id"), ":")[0], 6, 10).cast("long")
+        ).alias("id"),
+        "rank",
+    )
+    # dense head: brute cosine top-20 (the IVF/LSH variants are the scale path)
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(_HYBRID_K)
+    )
+    from pyspark.sql import Window
+
+    dn = cos.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("id")))
+    ).select("id", "rank")
+    fused = rrf_fuse([sp, dn], id_col="id")
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(10)
+        .select("id", F.round("rrf", 5).alias("rrf_r"), "n_systems")
+    )
+
+
+def _hybrid_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _HYBRID_QUERY.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+SQL_HYBRID = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_hybrid_qterms_values()}), "
+    + _BM25_SCORES_CTE
+    + f""", sparse_rank AS (
+         SELECT CAST(string_split(doc_id, ':')[2] AS BIGINT) * {_CONVS_MOD}
+                + CAST(substr(string_split(doc_id, ':')[1], 6) AS BIGINT) AS id,
+                rank
+         FROM (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+               FROM scores) WHERE rank <= {_HYBRID_K}
+       ),
+       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       pairs AS (
+         SELECT e.vec_id, unnest(e.embedding) AS ev, unnest(q.qv) AS qe
+         FROM embeddings e CROSS JOIN qv q
+       ),
+       dots AS (
+         SELECT vec_id,
+                sum(CAST(ev AS DOUBLE) * CAST(qe AS DOUBLE)) AS d,
+                sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) AS na,
+                sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)) AS nb
+         FROM pairs GROUP BY vec_id
+       ),
+       dense_rank_ AS (
+         SELECT vec_id AS id, rank FROM (
+           SELECT vec_id,
+                  ROW_NUMBER() OVER (ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC) AS rank
+           FROM dots) WHERE rank <= {_HYBRID_K}
+       ),
+       contribs AS (
+         SELECT id, 1.0 / (60.0 + rank) AS contrib FROM sparse_rank
+         UNION ALL
+         SELECT id, 1.0 / (60.0 + rank) AS contrib FROM dense_rank_
+       ),
+       fused AS (
+         SELECT id, sum(contrib) AS rrf, CAST(count(*) AS INT) AS n_systems
+         FROM contribs GROUP BY id
+       )""",
+    """SELECT id, round(rrf, 5) AS rrf_r, n_systems
+       FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""",
+)
+
+
+_CB_TOKENS, _CB_DIM = 8, 8  # deterministic reshape of the 64-dim embeddings
+
+
+def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT maxsim) top-10 vs the vec_id=0 query, over a
+    deterministic 8×8 multi-vector reshape of the flat embeddings (documented
+    stand-in — operators/colbert.py). Per-token L2 norm then Σ max cos."""
+    from bge_m3_onnx_spark.operators.colbert import l2_normalize, maxsim_topk, to_multivec
+
+    e = _load(spark, sf_dir, "embeddings")
+    docs = e.select(
+        "vec_id", l2_normalize(to_multivec(F.col("embedding"), _CB_TOKENS, _CB_DIM)).alias("mv")
+    )
+    query = (
+        e.filter(F.col("vec_id") == 0)
+        .select(l2_normalize(to_multivec(F.col("embedding"), _CB_TOKENS, _CB_DIM)).alias("qmv"))
+    )
+    res = maxsim_topk(docs, query, k=10)
+    return res.select("vec_id", F.round("maxsim", 5).alias("maxsim_r"))
+
+
+SQL_COLBERT = f"""
+WITH tok AS (
+  SELECT vec_id,
+         CAST(floor((k - 1) / {_CB_DIM}) AS INT) AS tj,
+         (k - 1) % {_CB_DIM} AS dim,
+         CAST(embedding[k] AS DOUBLE) AS val
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, {_CB_TOKENS * _CB_DIM})) AS k) u
+),
+qtok AS (SELECT tj AS qi, dim, val FROM tok WHERE vec_id = 0),
+dots AS (
+  SELECT t.vec_id, q.qi, t.tj,
+         sum(t.val * q.val) AS d,
+         sum(t.val * t.val) AS na,
+         sum(q.val * q.val) AS nb
+  FROM tok t JOIN qtok q ON t.dim = q.dim
+  GROUP BY t.vec_id, q.qi, t.tj
+),
+best AS (
+  SELECT vec_id, qi, max(d / (sqrt(na) * sqrt(nb))) AS m
+  FROM dots GROUP BY vec_id, qi
+),
+msim AS (SELECT vec_id, sum(m) AS maxsim FROM best GROUP BY vec_id)
+SELECT vec_id, round(maxsim, 5) AS maxsim_r
+FROM msim ORDER BY maxsim DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1797,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_topk": q_recency_topk,
         "more_like_this": q_more_like_this,
         "bm25f_topk": q_bm25f_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "colbert_maxsim": q_colbert_maxsim,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -1859,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "recency_topk": SQL_RECENCY,
         "more_like_this": SQL_MLT,
         "bm25f_topk": SQL_BM25F,
+        "hybrid_rrf": SQL_HYBRID,
+        "colbert_maxsim": SQL_COLBERT,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
