@@ -94,6 +94,49 @@ def main() -> None:
         )
     )
 
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.operators.wildcard import expand_prefix
+
+    qt_prefix = expand_prefix(idx.terms, "sh", query_id=1, max_expansions=64)
+    plan_prefix = topk(score_postings(idx.postings, qt_prefix, idx.n_docs, idx.avgdl), k=10)
+    sections.append(
+        (
+            "Prefix search 'sh*' (expansion → BM25)",
+            fmt(plan_prefix),
+            [
+                "Terms scan: PushedFilters StringStartsWith(term,sh)",
+                "TakeOrderedAndProject caps the expansion (max_expansions) before BroadcastExchange",
+                "Postings side joins the broadcast expansion — no shuffle of postings",
+            ],
+        )
+    )
+
+    from bge_m3_onnx_spark.operators.bm25f import (
+        fielded_counted,
+        fielded_postings,
+        field_stats,
+        score_bm25f,
+    )
+
+    tsc = synth_transcripts(spark, 500, 10)
+    fc = fielded_counted(tsc)
+    fp = fielded_postings(fc).filter(F.col("term").isin(["search", "spark"]))
+    qt_f = spark.createDataFrame(
+        [(1, "search", 50), (1, "spark", 60)], "query_id int, term string, df long"
+    )
+    plan_bm25f = topk(score_bm25f(fp, qt_f, 5000, field_stats(fc)), k=10)
+    sections.append(
+        (
+            "BM25F field-weighted scoring",
+            fmt(plan_bm25f),
+            [
+                "ArrowEvalPython appears once per field (SPIMI counting kernel) — no row-at-a-time Python",
+                "Two partial+final HashAggregate pairs (per-term pseudo-frequency, per-doc score)",
+                "Query-term side is a broadcast of a local relation",
+            ],
+        )
+    )
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — key physical plans\n\n")
         f.write("Generated by tools/explain_audit.py over a materialized index.\n")
