@@ -864,6 +864,126 @@ FROM msim ORDER BY maxsim DESC, vec_id ASC LIMIT 10
 """
 
 
+_NEG_QUERY = {1: "spark query data"}
+_NEG_EXCLUDE = ["slow"]
+
+
+def q_bm25_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT: 'spark query data' NOT 'slow' — scored candidates minus
+    docs containing the excluded term (left-anti on doc_id; exclusion scan is a
+    pushed term-IN postings read — operators/bm25.py:exclude_docs_with_terms)."""
+    from bge_m3_onnx_spark.operators.bm25 import exclude_docs_with_terms, score_postings, topk
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _NEG_QUERY, CFG).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    kept = exclude_docs_with_terms(scored, idx.postings, _NEG_EXCLUDE)
+    res = topk(kept, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+def _neg_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _NEG_QUERY.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+SQL_NEGATION = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_neg_qterms_values()}), "
+    + _BM25_SCORES_CTE,
+    f"""SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores
+         WHERE doc_id NOT IN (SELECT doc_id FROM postings
+                              WHERE term IN ({", ".join("'" + t + "'" for t in _NEG_EXCLUDE)}))
+       ) WHERE rank <= 10""",
+)
+
+
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic deep paging: ranks 11-20 of the flagship query set. The
+    (score DESC, doc_id ASC) total order makes every page stable across runs
+    and executors — the WindowGroupLimit plan prunes per-query partitions to
+    the page horizon, not the full candidate set."""
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    res = run_queries(spark, idx, ENTRY_QUERIES, k=20)
+    return res.filter(F.col("rank") > 10).select(
+        "query_id", "rank", "doc_id", F.round("score", 5).alias("score_r")
+    )
+
+
+SQL_PAGE2 = _sql(
+    _BASE_CTES + f", qterms(query_id, term) AS (VALUES {_qterms_values()}), " + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank > 10 AND rank <= 20""",
+)
+
+
+_EXPLAIN_QUERY = {1: "spark query data"}
+
+
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine 'explain': per-term score breakdown (tf, df, idf, term
+    contribution) for the top-ranked doc of a query — what ES/Lucene expose for
+    relevance debugging. Declarative: the 1-row top doc is broadcast back onto
+    the per-term contribution relation."""
+    from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, idf_col, score_postings, topk
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _EXPLAIN_QUERY, CFG).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    top1 = topk(scored, k=1).select("doc_id")
+    qt2 = qt.select("term", idf_col(F.col("df").cast("double"), idx.n_docs).alias("idf"), "df")
+    per_term = idx.postings.join(F.broadcast(qt2), "term").join(F.broadcast(top1), "doc_id")
+    return per_term.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 5).alias("idf_r"),
+        F.round(
+            bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), idx.avgdl, CFG), 5
+        ).alias("contrib_r"),
+    )
+
+
+def _explain_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _EXPLAIN_QUERY.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+SQL_SCORE_EXPLAIN = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + _BM25_SCORES_CTE
+    + """, top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1)""",
+    f"""SELECT p.doc_id, p.term, p.tf, t.df,
+              ROUND(ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0), 5) AS idf_r,
+              ROUND(ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                    * p.tf * ({K1} + 1.0)
+                    / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)), 5) AS contrib_r
+       FROM postings p
+       JOIN top1 ON p.doc_id = top1.doc_id
+       JOIN qterms q ON p.term = q.term
+       JOIN termdf t ON p.term = t.term
+       JOIN doclen d ON p.doc_id = d.doc_id
+       CROSS JOIN cstats s""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -1961,6 +2081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "colbert_maxsim": q_colbert_maxsim,
+        "bm25_negation": q_bm25_negation,
+        "bm25_page2": q_bm25_page2,
+        "score_explain": q_score_explain,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2025,6 +2148,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": SQL_BM25F,
         "hybrid_rrf": SQL_HYBRID,
         "colbert_maxsim": SQL_COLBERT,
+        "bm25_negation": SQL_NEGATION,
+        "bm25_page2": SQL_PAGE2,
+        "score_explain": SQL_SCORE_EXPLAIN,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

@@ -97,6 +97,24 @@ def score_postings_conjunctive(
     )
 
 
+def exclude_docs_with_terms(
+    scored: DataFrame, postings: DataFrame, terms: list[str]
+) -> DataFrame:
+    """NOT clause: drop scored candidates that contain ANY of ``terms``.
+
+    The exclusion relation is a pushed ``term IN`` postings scan projected to
+    doc_id; the left-anti join runs on doc_id. At scale the scored side is
+    candidate-bounded (query terms' postings) while the exclusion side can be a
+    hot term's full posting list — AQE picks broadcast vs shuffle per actual
+    size, and the anti join never inflates rows. Excluding a term absent from
+    the corpus is a no-op (empty anti side), matching boolean semantics.
+    """
+    if not terms:
+        return scored
+    ex = postings.filter(F.col("term").isin(list(set(terms)))).select("doc_id").distinct()
+    return scored.join(ex, "doc_id", "left_anti")
+
+
 def topk_single(scored: DataFrame, k: int = 10) -> DataFrame:
     """Single-query top-k without the full window exchange: orderBy+limit compiles
     to TakeOrderedAndProject (per-partition heap + driver merge — no shuffle of

@@ -90,3 +90,20 @@ def test_recency_and_mlt_slices_shape(spark):
     idx = build_index(_transcripts(spark, sf), CFG, cache=False)
     src = idx.docs.orderBy(F.desc("dl"), F.asc("doc_id")).limit(1).collect()[0]["doc_id"]
     assert src not in {r["doc_id"] for r in mlt}
+
+
+def test_exclude_docs_with_terms(spark):
+    from bge_m3_onnx_spark.operators.bm25 import exclude_docs_with_terms
+
+    scored = spark.createDataFrame(
+        [(1, "d1", 2.0), (1, "d2", 1.5), (1, "d3", 1.0)], "query_id int, doc_id string, score double"
+    )
+    postings = spark.createDataFrame(
+        [("slow", "d2", 1), ("fast", "d1", 1)], "term string, doc_id string, tf int"
+    )
+    kept = {r["doc_id"] for r in exclude_docs_with_terms(scored, postings, ["slow"]).collect()}
+    assert kept == {"d1", "d3"}
+    # absent exclusion term is a boolean no-op; empty list returns input unchanged
+    allr = {r["doc_id"] for r in exclude_docs_with_terms(scored, postings, ["zzz"]).collect()}
+    assert allr == {"d1", "d2", "d3"}
+    assert exclude_docs_with_terms(scored, postings, []) is scored
