@@ -67,12 +67,22 @@ def main() -> None:
     init_sec = time.monotonic() - t_init  # session + codegen/worker warmup
 
     # ---- index build (tokenize → postings → stats → compressed blocks) ----
+    # best-of-2 with FULL unpersist between runs (postings+terms+docs+blocks, so
+    # the second build recomputes everything — no CacheManager reuse): the VM
+    # throttles episodically and the first full-size build additionally pays
+    # codegen/alloc warm-up the tiny warmup above doesn't cover; min isolates
+    # engine cost, same policy as the query timings below.
     transcripts = synth_transcripts(spark, n_convs=n_turns // 10, turns_per_conv=10)
-    t0 = time.monotonic()
-    idx = build_index(transcripts, with_blocks=True)
-    n_postings = idx.postings.count()
-    n_blocks = idx.blocks.count()
-    build_sec = time.monotonic() - t0
+    build_sec = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        idx = build_index(transcripts, with_blocks=True)
+        n_postings = idx.postings.count()
+        n_blocks = idx.blocks.count()
+        build_sec = min(build_sec, time.monotonic() - t0)
+        if _ == 0:
+            for d in (idx.postings, idx.terms, idx.docs, idx.blocks):
+                d.unpersist()
     timings["index_build"] = build_sec
 
     def best_of(n: int, fn) -> float:
