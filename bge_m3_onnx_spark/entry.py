@@ -984,6 +984,47 @@ SQL_SCORE_EXPLAIN = _sql(
 )
 
 
+def q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level retrieval (MaxP aggregation, Dai & Callan 2019): rank
+    CONVERSATIONS by their best-matching turn's BM25 score, with matched-turn
+    counts. The turn→conversation rollup is one hash agg over the candidate set
+    keyed by the doc_id prefix — no extra scan, no join back to transcripts."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _EXPLAIN_QUERY, CFG).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    conv = (
+        scored.withColumn("conv_id", F.split(F.col("doc_id"), ":")[0])
+        .groupBy("query_id", "conv_id")
+        .agg(F.max("score").alias("best"), F.count("*").cast("int").alias("n_turns_matched"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("best"), F.asc("conv_id"))
+    return (
+        conv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "conv_id", F.round("best", 5).alias("best_r"), "n_turns_matched")
+    )
+
+
+SQL_CONV = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + _BM25_SCORES_CTE
+    + """, conv AS (
+         SELECT query_id, string_split(doc_id, ':')[1] AS conv_id,
+                max(score) AS best, CAST(count(*) AS INT) AS n_turns_matched
+         FROM scores GROUP BY query_id, string_split(doc_id, ':')[1]
+       )""",
+    """SELECT query_id, CAST(rank AS INT) AS rank, conv_id, best_r, n_turns_matched FROM (
+         SELECT query_id, conv_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY best DESC, conv_id ASC) AS rank,
+                ROUND(best, 5) AS best_r, n_turns_matched
+         FROM conv) WHERE rank <= 10""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2084,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_negation": q_bm25_negation,
         "bm25_page2": q_bm25_page2,
         "score_explain": q_score_explain,
+        "conv_topk": q_conv_topk,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2151,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_negation": SQL_NEGATION,
         "bm25_page2": SQL_PAGE2,
         "score_explain": SQL_SCORE_EXPLAIN,
+        "conv_topk": SQL_CONV,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
