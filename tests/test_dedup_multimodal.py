@@ -197,3 +197,46 @@ def test_multimodal_pipeline_deterministic(spark):
     assert all(len(v) == 64 for v in f1.values())
     # narrow output drops the binary column
     assert set(extract_features(media).columns) == {"media_id", "kind", "feature"}
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from bge_m3_onnx_spark.operators.multimodal import resize_image, resize_images, synth_media
+    import numpy as np
+
+    media = synth_media(spark, 30)
+    rows = resize_images(media, out_h=4, out_w=5).collect()
+    imgs = media.filter("kind = 'image'").count()
+    assert len(rows) == imgs > 0
+    for r in rows:
+        assert r["out_h"] == 4 and r["out_w"] == 5 and len(r["pixels"]) == 20
+    # distributed result equals local numpy on the same fake decode
+    from bge_m3_onnx_spark.operators.multimodal import decode_image_2d
+
+    one = media.filter("kind = 'image'").orderBy("media_id").limit(1).collect()[0]
+    local = resize_image(
+        decode_image_2d(bytes(one["payload"]["bytes"]), one["width"], one["height"],
+                        deterministic_fake=True), 4, 5
+    ).reshape(-1).tolist()
+    got = {r["media_id"]: r["pixels"] for r in rows}[one["media_id"]]
+    assert np.allclose(got, local)
+
+
+def test_sample_frames_bounded_and_deterministic(spark):
+    from bge_m3_onnx_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 30)
+    frames = sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert all(r["t_ms"] == r["frame_idx"] * 1000 for r in frames)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    vids = {r["media_id"]: r["duration_ms"] for r in media.filter("kind='video'").collect()}
+    assert set(by_media) <= set(vids)
+    for mid, idxs in by_media.items():
+        expect = min(vids[mid] // 1000 + 1, 8)
+        assert sorted(idxs) == list(range(expect))  # bounded fan-out, no gaps
+    # frame_key is deterministic across runs
+    again = {(r["media_id"], r["frame_idx"]): r["frame_key"]
+             for r in sample_frames(media, every_ms=1000, max_frames=8).collect()}
+    first = {(r["media_id"], r["frame_idx"]): r["frame_key"] for r in frames}
+    assert again == first
