@@ -1025,6 +1025,80 @@ SQL_CONV = _sql(
 )
 
 
+_SYN_QUERY = {1: "query table"}
+_SYN_PAIRS = [("query", "scan"), ("table", "row"), ("zzz", "never")]
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded BM25: 'query table' expands one hop through a curated
+    synonym relation (query→scan, table→row) then scores each expanded term
+    with its own idf — operators/wildcard.py:expand_synonyms."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.operators.wildcard import expand_synonyms
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    syn = spark.createDataFrame(_SYN_PAIRS, "term string, syn string")
+    qt = expand_synonyms(query_terms_df(spark, _SYN_QUERY, CFG), syn).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    res = topk(scored, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+def _syn_qterms_values() -> str:
+    rows = []
+    for qid, qtext in _SYN_QUERY.items():
+        for term in sorted(set(tokenize_text(qtext))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+SQL_SYNONYM = _sql(
+    _BASE_CTES
+    + f""", syn(term, syn) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SYN_PAIRS)}),
+       qbase(query_id, term) AS (VALUES {_syn_qterms_values()}),
+       qterms AS (
+         SELECT query_id, term FROM qbase
+         UNION
+         SELECT q.query_id, s.syn AS term FROM qbase q JOIN syn s ON q.term = s.term
+       ), """
+    + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank <= 10""",
+)
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index observability: the summary a serving dashboard reads — doc/term/
+    posting counts, avgdl, hottest df. All from the index relations (no rescan
+    of text); each is a partial+final aggregate."""
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    agg = idx.terms.agg(
+        F.count("*").alias("n_terms"),
+        F.max("df").alias("max_df"),
+    ).crossJoin(idx.postings.agg(F.count("*").alias("n_postings")))
+    return agg.select(
+        F.lit(int(idx.n_docs)).alias("n_docs"),
+        "n_terms",
+        "n_postings",
+        F.lit(float(round(idx.avgdl, 5))).alias("avgdl_r"),
+        "max_df",
+    )
+
+
+SQL_INDEX_STATS = _sql(
+    _BASE_CTES,
+    """SELECT (SELECT count(*) FROM doclen) AS n_docs,
+              (SELECT count(*) FROM termdf) AS n_terms,
+              (SELECT count(*) FROM postings) AS n_postings,
+              (SELECT round(avg(dl), 5) FROM doclen) AS avgdl_r,
+              (SELECT max(df) FROM termdf) AS max_df""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2126,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2": q_bm25_page2,
         "score_explain": q_score_explain,
         "conv_topk": q_conv_topk,
+        "synonym_topk": q_synonym_topk,
+        "index_stats": q_index_stats,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2194,6 +2270,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2": SQL_PAGE2,
         "score_explain": SQL_SCORE_EXPLAIN,
         "conv_topk": SQL_CONV,
+        "synonym_topk": SQL_SYNONYM,
+        "index_stats": SQL_INDEX_STATS,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

@@ -27,6 +27,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def expand_synonyms(query_terms: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymGraph style, one hop):
+    (query_id, term) × (term, syn) → original terms ∪ mapped synonyms, distinct.
+
+    The synonym relation is curated vocabulary — orders of magnitude smaller
+    than the index — so the join is a broadcast against the (tiny) query-term
+    relation; downstream each expanded term scores with its OWN df/idf through
+    the ordinary BM25 plan, which is the standard expand-then-score semantics.
+    One hop only, deliberately: transitive closure at query time is unbounded
+    and belongs in the curation pipeline, not the query path.
+    """
+    mapped = (
+        query_terms.join(synonyms, "term")
+        .select("query_id", F.col("syn").alias("term"))
+    )
+    return query_terms.select("query_id", "term").unionByName(mapped).distinct()
+
+
 def expand_prefix(
     terms: DataFrame, prefix: str, query_id: int = 1, max_expansions: int = 64
 ) -> DataFrame:

@@ -107,3 +107,18 @@ def test_exclude_docs_with_terms(spark):
     allr = {r["doc_id"] for r in exclude_docs_with_terms(scored, postings, ["zzz"]).collect()}
     assert allr == {"d1", "d2", "d3"}
     assert exclude_docs_with_terms(scored, postings, []) is scored
+
+
+def test_expand_synonyms_one_hop_distinct(spark):
+    from bge_m3_onnx_spark.operators.wildcard import expand_synonyms
+
+    qt = spark.createDataFrame([(1, "query"), (1, "table"), (2, "query")], "query_id int, term string")
+    syn = spark.createDataFrame(
+        [("query", "scan"), ("scan", "probe"), ("table", "query")], "term string, syn string"
+    )
+    got = {(r["query_id"], r["term"]) for r in expand_synonyms(qt, syn).collect()}
+    # one hop only: query->scan but NOT scan->probe; table->query dedupes with base
+    assert got == {
+        (1, "query"), (1, "table"), (1, "scan"),
+        (2, "query"), (2, "scan"),
+    }
