@@ -36,6 +36,7 @@ def score_postings(
     n_docs: int,
     avgdl: float,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every candidate document.
 
@@ -56,6 +57,12 @@ def score_postings(
         "doc_id",
         bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
     )
+    # Driver-sized exchange (plans/query.py:_agg_partitions): an explicit hash
+    # repartition on the agg keys replaces the session-default exchange — the
+    # aggregate reuses this partitioning, so it's the SAME single shuffle, just
+    # sized to the candidate volume instead of a fixed width.
+    if agg_partitions is not None:
+        per_term = per_term.repartition(agg_partitions, "query_id", "doc_id")
     return per_term.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
 
 
@@ -66,6 +73,7 @@ def score_postings_conjunctive(
     n_docs: int,
     avgdl: float,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """AND-semantics BM25: only docs containing EVERY query term are candidates.
 
@@ -89,6 +97,8 @@ def score_postings_conjunctive(
     need = F.create_map(
         *[x for q, n in sorted(n_terms_per_query.items()) for x in (F.lit(int(q)), F.lit(int(n)))]
     )
+    if agg_partitions is not None:
+        per_term = per_term.repartition(agg_partitions, "query_id", "doc_id")
     return (
         per_term.groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score"), F.count("*").alias("nm"))

@@ -92,10 +92,33 @@ def run_queries(
             for qid, qtext in queries.items()
         }
         scored = score_postings_conjunctive(
-            postings, qt_stats, n_terms, idx.n_docs, idx.avgdl, cfg
+            postings, qt_stats, n_terms, idx.n_docs, idx.avgdl, cfg, agg_partitions=_agg_partitions(spark, qt_rows)
         )
     else:
-        scored = score_postings(postings, qt_stats, idx.n_docs, idx.avgdl, cfg)
+        scored = score_postings(
+            postings, qt_stats, idx.n_docs, idx.avgdl, cfg, agg_partitions=_agg_partitions(spark, qt_rows)
+        )
     if len(queries) == 1:
         return topk_single(scored, k)
     return topk(scored, k)
+
+
+# ~rows of matched postings one aggregate task should own: small enough to stay
+# in-memory, large enough that task overhead doesn't dominate (measured: the
+# session default of 32 partitions over a few-10^4-row candidate set put 32
+# near-empty tasks on the latency path — p50 1.11 s → 0.67 s at sf0.1 with
+# driver-sized partitioning).
+_AGG_ROWS_PER_TASK = 100_000
+
+
+def _agg_partitions(spark: SparkSession, qt_rows: list[tuple[int, str, int]]) -> int:
+    """Cost-based partition count for the score aggregate, from driver-known df:
+    the matched-postings row count is EXACTLY Σ df over the (query, term) pairs
+    (inner join on unique (term, doc) postings), so the exchange width scales
+    with the actual candidate volume — a stopword query at 10^12 turns still
+    fans wide, a selective query pays 1-2 tasks instead of a mostly-empty
+    session-default exchange. Never exceeds the session default."""
+    total = sum(df for _, _, df in qt_rows)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    need = (total + _AGG_ROWS_PER_TASK - 1) // _AGG_ROWS_PER_TASK
+    return max(1, min(cap, need))
