@@ -1099,6 +1099,56 @@ SQL_INDEX_STATS = _sql(
 )
 
 
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result date histogram (the ES date_histogram aggregation):
+    HOURLY doc counts over the FULL candidate set of the facet query (hour
+    buckets so small-sf fixtures exercise >1 bucket). Candidate scan is the
+    pushed term-In read; the bucket agg is tiny-cardinality."""
+    terms = sorted(set(tokenize_text(_FACET_QUERY)))
+    t = _transcripts(spark, sf_dir)
+    cand = _tokens(spark, sf_dir).filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    meta = t.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("day"),
+    )
+    return meta.join(cand, "doc_id").groupBy("day").agg(F.count("*").alias("n_docs"))
+
+
+SQL_DATE_HISTOGRAM = _sql(
+    _BASE_CTES,
+    f"""SELECT strftime(t.ts, '%Y-%m-%d %H') AS day, count(*) AS n_docs
+       FROM (SELECT DISTINCT doc_id FROM tokens
+             WHERE term IN ({", ".join("'" + x + "'" for x in sorted(set(tokenize_text(_FACET_QUERY))))})) c
+       JOIN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id, ts
+             FROM transcripts) t ON c.doc_id = t.doc_id
+       GROUP BY strftime(t.ts, '%Y-%m-%d %H')""",
+)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vector (the ES _termvectors API): (term, tf, df) rows
+    for one doc — a pushed doc_id-equality read of the postings relation plus
+    the broadcast df lookup; no text rescan."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    postings = build_postings(toks)
+    tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
+    target = toks.orderBy(F.desc("dl"), F.asc("doc_id")).limit(1).select("doc_id")
+    return (
+        postings.join(F.broadcast(target), "doc_id")
+        .join(tdf, "term")
+        .select("doc_id", "term", "tf", "df")
+    )
+
+
+SQL_TERM_VECTORS = _sql(
+    _BASE_CTES
+    + ", target AS (SELECT doc_id FROM doclen ORDER BY dl DESC, doc_id ASC LIMIT 1)",
+    """SELECT p.doc_id, p.term, p.tf, t.df
+       FROM postings p JOIN target ON p.doc_id = target.doc_id
+       JOIN termdf t ON p.term = t.term""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2202,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_topk": q_conv_topk,
         "synonym_topk": q_synonym_topk,
         "index_stats": q_index_stats,
+        "date_histogram": q_date_histogram,
+        "term_vectors": q_term_vectors,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2272,6 +2324,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_topk": SQL_CONV,
         "synonym_topk": SQL_SYNONYM,
         "index_stats": SQL_INDEX_STATS,
+        "date_histogram": SQL_DATE_HISTOGRAM,
+        "term_vectors": SQL_TERM_VECTORS,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
