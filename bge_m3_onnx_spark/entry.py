@@ -1459,6 +1459,39 @@ SQL_NEARDUP = _sql(
 )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs → connected components → (doc_id,
+    cluster_id=min doc in component) — the canonical-representative assignment
+    a dedup pipeline keeps/drops by (operators/dedup.py:connected_components,
+    distributed min-label propagation; the oracle replays it as a recursive
+    transitive closure)."""
+    from bge_m3_onnx_spark.operators.dedup import connected_components
+
+    return connected_components(q_neardup_pairs(spark, sf_dir))
+
+
+SQL_NEARDUP_CLUSTERS = _sql(
+    "RECURSIVE " + _BASE_CTES + "," + _LSH_CTES + """,
+nd AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)""",
+    """SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       FROM reach GROUP BY src""",
+)
+
+
 def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-set Jaccard over LSH candidate pairs: |A∩B| / |A∪B| ≥ 0.5 — the
     exact verification step, candidate-bounded (MinHash estimates exactly this)."""
@@ -2254,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "date_histogram": q_date_histogram,
         "term_vectors": q_term_vectors,
+        "neardup_clusters": q_neardup_clusters,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2326,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": SQL_INDEX_STATS,
         "date_histogram": SQL_DATE_HISTOGRAM,
         "term_vectors": SQL_TERM_VECTORS,
+        "neardup_clusters": SQL_NEARDUP_CLUSTERS,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

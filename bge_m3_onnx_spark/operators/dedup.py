@@ -191,3 +191,60 @@ def simhash_near_pairs(sh: DataFrame, prefix_bits: int = 16) -> DataFrame:
         )
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → clusters: (doc_id, cluster_id) with cluster_id = the
+    MINIMUM doc id in each connected component (deterministic canonical
+    representative — the doc a dedup pipeline KEEPS).
+
+    Distributed min-label propagation: every node starts labeled with itself;
+    each round every node takes the min label in its closed neighborhood; stop
+    when no label changed (driver-side count — one tiny metadata job per
+    round). Converges in O(component diameter) rounds — near-dup components
+    are shallow (duplicates of a common source), so 2-4 rounds in practice;
+    ``max_iters`` bounds pathological chains. Each round is two hash joins on
+    the (doc, label) relation co-partitioned with the symmetric edge list —
+    the classic Spark CC loop (alternating-star variants halve rounds on deep
+    graphs; unnecessary at near-dup depth). Persist+unpersist per round keeps
+    the lineage O(1) instead of exponential.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "lbl")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("new_lbl"))
+        )
+        changed = (
+            neigh_min.join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        new_labels = neigh_min.select("node", F.col("new_lbl").alias("lbl")).persist()
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

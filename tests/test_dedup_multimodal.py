@@ -240,3 +240,18 @@ def test_sample_frames_bounded_and_deterministic(spark):
              for r in sample_frames(media, every_ms=1000, max_frames=8).collect()}
     first = {(r["media_id"], r["frame_idx"]): r["frame_key"] for r in frames}
     assert again == first
+
+
+def test_connected_components_chain_and_islands(spark):
+    from bge_m3_onnx_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("d", "c"), ("b", "a"), ("c", "b"), ("y", "x"), ("m", "m2")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",   # 4-chain collapses to min label
+        "x": "x", "y": "x",
+        "m": "m", "m2": "m",
+    }
