@@ -248,3 +248,23 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def drop_near_duplicates(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the dedup decision: keep every unclustered doc plus each
+    cluster's canonical representative (doc_id == cluster_id), drop the rest.
+
+    One left join against the (small relative to the corpus) cluster relation;
+    docs outside any cluster pass through untouched — so the join is skew-free
+    and the output is exactly ``docs`` minus non-canonical near-duplicates.
+    """
+    c = clusters.select(
+        F.col(id_col).alias("__cc_id"), F.col("cluster_id").alias("__cc_lbl")
+    )
+    return (
+        docs.join(c, docs[id_col] == F.col("__cc_id"), "left")
+        .filter(F.col("__cc_lbl").isNull() | (F.col("__cc_lbl") == docs[id_col]))
+        .drop("__cc_id", "__cc_lbl")
+    )

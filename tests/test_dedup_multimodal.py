@@ -255,3 +255,15 @@ def test_connected_components_chain_and_islands(spark):
         "x": "x", "y": "x",
         "m": "m", "m2": "m",
     }
+
+
+def test_drop_near_duplicates_keeps_canonical_and_islands(spark):
+    from bge_m3_onnx_spark.operators.dedup import connected_components, drop_near_duplicates
+
+    pairs = spark.createDataFrame([("b", "a"), ("c", "b")], "doc_a string, doc_b string")
+    clusters = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"), ("z", "t2")], "doc_id string, text string"
+    )
+    kept = {r["doc_id"] for r in drop_near_duplicates(docs, clusters).collect()}
+    assert kept == {"a", "z"}
