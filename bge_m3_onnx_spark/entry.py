@@ -1149,6 +1149,126 @@ SQL_TERM_VECTORS = _sql(
 )
 
 
+_SNIP_W = 2  # tokens of context either side of the first hit
+
+
+def q_snippet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet TEXT reconstruction: for the top-5 docs of the explain query,
+    the ±2-token window around the first 'spark' hit, joined back to the token
+    arrays (k-row broadcast against tokenized docs — text is resliced for k
+    docs only, never rescanned corpus-wide)."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.operators.positional import positional_postings
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _EXPLAIN_QUERY, CFG).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    top = topk(scored, k=5).select("doc_id", "rank")
+    pos = positional_postings(_tokenized(spark, sf_dir)).filter(F.col("term") == "spark")
+    toks = _tokenized(spark, sf_dir).select("doc_id", "terms")
+    first = F.element_at("positions", 1)
+    lo = F.greatest(first - _SNIP_W, F.lit(1))
+    # window = [max(first-W, 1), first+W]; length derived from the CLAMPED lo so
+    # a hit in the first W tokens doesn't overshoot to W extra trailing tokens
+    # (the array end truncates the other side for free, same as the SQL least()).
+    length = first + _SNIP_W - lo + 1
+    return (
+        F.broadcast(top)
+        .join(pos, "doc_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "rank",
+            first.cast("int").alias("first_pos"),
+            F.concat_ws(" ", F.slice("terms", lo, length)).alias("snippet"),
+        )
+    )
+
+
+SQL_SNIPPET_TEXT = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + _BM25_SCORES_CTE
+    + f""", top AS (
+         SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores) WHERE rank <= 5
+       ),
+       firsts AS (
+         SELECT doc_id, CAST(min(i) AS INT) AS first_pos
+         FROM tdocs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+         WHERE toks[i] = 'spark' GROUP BY doc_id
+       )""",
+    f"""SELECT t.doc_id, t.rank, f.first_pos,
+              array_to_string(list_slice(d.toks,
+                  greatest(f.first_pos - {_SNIP_W}, 1),
+                  least(f.first_pos + {_SNIP_W}, len(d.toks))), ' ') AS snippet
+       FROM top t JOIN firsts f ON t.doc_id = f.doc_id
+       JOIN tdocs d ON t.doc_id = d.doc_id""",
+)
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-5 completions of 's' by df DESC (the expand_prefix
+    relation IS the suggest response — same pushed StartsWith range scan)."""
+    from bge_m3_onnx_spark.operators.wildcard import expand_prefix
+
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    terms = build_postings(toks).groupBy("term").agg(F.count("*").alias("df"))
+    return expand_prefix(terms, "s", query_id=1, max_expansions=5).select("term", "df")
+
+
+SQL_TERM_SUGGEST = _sql(
+    _BASE_CTES,
+    """SELECT term, df FROM termdf WHERE term LIKE 's%'
+       ORDER BY df DESC, term ASC LIMIT 5""",
+)
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (ES significant_terms flavor): top-3 terms per
+    conversation by tf·idf, ties by term — one window over the per-conv term
+    aggregate; idf from corpus-level df as literals-by-join (no collect)."""
+    toks = tokenized_docs(_transcripts(spark, sf_dir), CFG)
+    postings = build_postings(toks)
+    tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = toks.count()
+    conv_tf = (
+        postings.withColumn("conv_id", F.split(F.col("doc_id"), ":")[0])
+        .groupBy("conv_id", "term")
+        .agg(F.sum("tf").alias("ctf"))
+    )
+    from bge_m3_onnx_spark.operators.bm25 import idf_col
+
+    scored = conv_tf.join(tdf, "term").select(
+        "conv_id",
+        "term",
+        (F.col("ctf") * idf_col(F.col("df").cast("double"), n_docs)).alias("w"),
+    )
+    win = Window.partitionBy("conv_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("conv_id", F.col("rank").cast("int"), "term", F.round("w", 5).alias("w_r"))
+    )
+
+
+SQL_SIGNIFICANT = _sql(
+    _BASE_CTES,
+    """SELECT conv_id, CAST(rank AS INT) AS rank, term, ROUND(w, 5) AS w_r FROM (
+         SELECT conv_id, term, w,
+                ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY w DESC, term ASC) AS rank
+         FROM (
+           SELECT string_split(p.doc_id, ':')[1] AS conv_id, p.term,
+                  sum(p.tf) * ln((s.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0) AS w
+           FROM postings p JOIN termdf t ON p.term = t.term CROSS JOIN cstats s
+           GROUP BY string_split(p.doc_id, ':')[1], p.term, s.n_docs, t.df
+         )
+       ) WHERE rank <= 3""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2288,6 +2408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "term_vectors": q_term_vectors,
         "neardup_clusters": q_neardup_clusters,
+        "snippet_text": q_snippet_text,
+        "term_suggest": q_term_suggest,
+        "significant_terms": q_significant_terms,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2361,6 +2484,9 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": SQL_DATE_HISTOGRAM,
         "term_vectors": SQL_TERM_VECTORS,
         "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+        "snippet_text": SQL_SNIPPET_TEXT,
+        "term_suggest": SQL_TERM_SUGGEST,
+        "significant_terms": SQL_SIGNIFICANT,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
