@@ -198,3 +198,30 @@ def stream_build(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index(idx: InvertedIndex, cfg: EngineConfig | None = None) -> InvertedIndex:
+    """Maintenance compaction (the Lucene forceMerge analog): re-cut EVERY
+    term's blocks under the CURRENT (n_docs, avgdl, df) and drop the compounded
+    inflation factors that repeated ε-drift merges left on untouched terms'
+    pruning bounds. Correctness never requires this — inflated bounds are still
+    upper bounds — but each merge multiplies untouched terms' block_max_score
+    by ≥1, so WAND pruning gets monotonically weaker until a compaction resets
+    it. Run it like any segment-merge policy: off the query path, after every
+    K merges or when decoded-block fractions regress.
+
+    One build_blocks pass over the postings relation — the same term-partitioned
+    shuffle as a fresh build; at 10^12 scale schedule per term-bucket so the
+    bucketed layout compacts incrementally.
+    """
+    cfg = cfg or idx.cfg
+    blocks = build_blocks(idx.postings, idx.terms, idx.n_docs, idx.avgdl, cfg)
+    return InvertedIndex(
+        postings=idx.postings,
+        terms=idx.terms,
+        docs=idx.docs,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+        cfg=cfg,
+        blocks=blocks,
+    )

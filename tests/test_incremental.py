@@ -147,3 +147,43 @@ def test_index_snapshot_range_incremental(spark, tmp_path):
     assert _topk_map(run_queries(spark, idx, queries, k=10)) == _topk_map(
         run_queries(spark, full, queries, k=10)
     )
+
+
+def test_compaction_tightens_bounds_and_stays_lossless(spark):
+    """After merges, untouched terms carry inflated block bounds; compaction
+    re-cuts under current stats: Σ block_max_score strictly tightens (or holds)
+    per term, block coverage is identical, and WAND == exact afterwards."""
+    import pyspark.sql.functions as F
+
+    from bge_m3_onnx_spark.plans.build_index import build_index
+    from bge_m3_onnx_spark.plans.query import run_queries
+    from bge_m3_onnx_spark.plans.wand import run_queries_wand
+    from bge_m3_onnx_spark.sources.transcripts import synth_transcripts
+    from bge_m3_onnx_spark.streaming.incremental import compact_index, merge_delta
+
+    idx = build_index(
+        synth_transcripts(spark, n_convs=80, turns_per_conv=5),
+        with_ordinals=True,
+        with_blocks=True,
+    )
+    merged = merge_delta(
+        spark, idx, synth_transcripts(spark, n_convs=84, turns_per_conv=5).filter("conv_id >= 'conv-000080'")
+    )
+    compacted = compact_index(merged)
+
+    def bound_sum(blocks):
+        return {
+            r["term"]: r["s"]
+            for r in blocks.groupBy("term").agg(F.sum("block_max_score").alias("s")).collect()
+        }
+
+    before, after = bound_sum(merged.blocks), bound_sum(compacted.blocks)
+    assert set(before) == set(after)
+    assert all(after[t] <= before[t] + 1e-9 for t in after)
+    assert any(after[t] < before[t] - 1e-12 for t in after)  # inflation actually dropped
+
+    q = {1: "spark shuffle partition", 2: "the"}
+    exact = run_queries(spark, compacted, q, k=5).collect()
+    wand = run_queries_wand(spark, compacted, q, k=5, force_wand=True).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, wand)) == sorted(map(key, exact))
