@@ -1269,6 +1269,65 @@ SQL_SIGNIFICANT = _sql(
 )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (kdb/merge_asof semantics, which Spark lacks as a built-in):
+    each click event attributed to the user's latest at-or-before view event.
+    Engine path is the shuffle-once union-sort-window reformulation
+    (operators/temporal.py:asof_join); the oracle is DuckDB's native ASOF JOIN."""
+    from bge_m3_onnx_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    res = asof_join(clicks, views, key="user_id", right_cols=["view_id"])
+    return res.filter(F.col("asof_view_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("asof_view_id").cast("long").alias("view_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("view_ts_str"),
+    )
+
+
+SQL_ASOF = """
+SELECT c.event_id, c.user_id, v.event_id AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%g') AS view_ts_str
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (Spark has no built-in): count click events inside
+    each error event's 10-minute follow-up window per user. Engine path is the
+    bucketed equi-join reformulation (operators/temporal.py:range_join_points);
+    oracle is the plain inequality join (fine at oracle scale, a blowup at ours)."""
+    from bge_m3_onnx_spark.operators.temporal import range_join_points
+
+    ev = _load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join_points(errors, clicks, key="user_id", bucket_sec=600)
+    return joined.groupBy("err_id", "user_id").agg(F.count("*").alias("n_clicks"))
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id AS err_id, e.user_id, count(*) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+GROUP BY e.event_id, e.user_id
+"""
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2411,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_text": q_snippet_text,
         "term_suggest": q_term_suggest,
         "significant_terms": q_significant_terms,
+        "asof_attribution": q_asof_attribution,
+        "range_join_windows": q_range_join_windows,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2487,6 +2548,8 @@ def oracle_sql() -> dict[str, str]:
         "snippet_text": SQL_SNIPPET_TEXT,
         "term_suggest": SQL_TERM_SUGGEST,
         "significant_terms": SQL_SIGNIFICANT,
+        "asof_attribution": SQL_ASOF,
+        "range_join_windows": SQL_RANGE_JOIN,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
