@@ -1328,6 +1328,40 @@ GROUP BY e.event_id, e.user_id
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregate (hypertable rollup): minute → hour →
+    day levels over events.value, coarser levels re-aggregating finer ones —
+    raw is scanned once (operators/temporal.py:rollup_hierarchy); the oracle
+    recomputes every level directly from raw, proving re-aggregation exactness."""
+    from bge_m3_onnx_spark.operators.temporal import rollup_hierarchy
+
+    ev = _load(spark, sf_dir, "events")
+    out = rollup_hierarchy(ev, levels_sec=[60, 3600, 86400], extra_keys=["event_type"])
+    return out.select(
+        "level_sec",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_str"),
+        "event_type",
+        "n",
+        F.round("sum_v", 5).alias("sum_r"),
+        F.round("min_v", 5).alias("min_r"),
+        F.round("max_v", 5).alias("max_r"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT level_sec, strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_str,
+       event_type, n, round(sum_v, 5) AS sum_r, round(min_v, 5) AS min_r, round(max_v, 5) AS max_r
+FROM (
+  SELECT w AS level_sec,
+         to_timestamp(floor(epoch(ts) / w) * w) AS bucket_start,
+         event_type,
+         count(*) AS n, sum(value) AS sum_v, min(value) AS min_v, max(value) AS max_v
+  FROM events, (SELECT unnest([60, 3600, 86400]) AS w) widths
+  GROUP BY w, to_timestamp(floor(epoch(ts) / w) * w), event_type
+)
+"""
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2472,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "asof_attribution": q_asof_attribution,
         "range_join_windows": q_range_join_windows,
+        "hypertable_rollup": q_hypertable_rollup,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2550,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": SQL_SIGNIFICANT,
         "asof_attribution": SQL_ASOF,
         "range_join_windows": SQL_RANGE_JOIN,
+        "hypertable_rollup": SQL_ROLLUP,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

@@ -115,3 +115,60 @@ def range_join_points(
     return joined.filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     )
+
+
+def rollup_hierarchy(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels_sec: list[int] | None = None,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style hierarchical rollup (TimescaleDB continuous-aggregate
+    shape): (level_sec, bucket_start, [extra keys], n, sum, min, max) for each
+    granularity, where every coarser level re-aggregates the PREVIOUS level —
+    the raw relation is scanned exactly once no matter how many levels.
+
+    Only re-aggregable measures ride the hierarchy (count/sum/min/max; avg =
+    sum/n downstream). Levels must be ascending and each must divide the next
+    (e.g. 60 → 3600 → 86400) or the coarser buckets would straddle finer ones.
+
+    Scale shape: the raw→finest agg is the only pass over the fat relation
+    (partial+final hash agg); each further level aggregates the previous
+    level's output, which is smaller by the bucket ratio — the whole hierarchy
+    costs one fat shuffle plus geometrically-shrinking small ones.
+    """
+    levels_sec = levels_sec or [60, 3600, 86400]
+    extra_keys = extra_keys or []
+    for a, b in zip(levels_sec, levels_sec[1:]):
+        if b % a != 0:
+            raise ValueError(f"level {b}s must be a multiple of level {a}s")
+
+    def bucket(col, width):
+        return (F.floor(col.cast("timestamp").cast("double") / width) * width).cast("timestamp")
+
+    finest = levels_sec[0]
+    level = (
+        events.groupBy(bucket(F.col(ts_col), finest).alias("bucket_start"), *extra_keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .withColumn("level_sec", F.lit(finest))
+    )
+    out = level
+    for width in levels_sec[1:]:
+        level = (
+            level.groupBy(bucket(F.col("bucket_start"), width).alias("bucket_start"), *extra_keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+            .withColumn("level_sec", F.lit(width))
+        )
+        out = out.unionByName(level)
+    return out.select("level_sec", "bucket_start", *extra_keys, "n", "sum_v", "min_v", "max_v")

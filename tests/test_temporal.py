@@ -56,3 +56,13 @@ def test_range_join_points_containment_and_guard(spark):
     )
     with pytest.raises(ValueError):
         range_join_points(wide, points, key="user_id", bucket_sec=60, max_buckets=10)
+
+
+def test_rollup_levels_must_nest(spark):
+    from bge_m3_onnx_spark.operators.temporal import rollup_hierarchy
+
+    ev = spark.createDataFrame([(_ts(1), 1.0)], "ts timestamp, value double")
+    with pytest.raises(ValueError):
+        rollup_hierarchy(ev, levels_sec=[60, 90])  # 90 not a multiple of 60
+    levels = {r["level_sec"] for r in rollup_hierarchy(ev, levels_sec=[60, 120]).collect()}
+    assert levels == {60, 120}
