@@ -1362,6 +1362,38 @@ FROM (
 """
 
 
+_PERC_QUERIES = {1: "spark query", 2: "big data table", 3: "absent-zzz scan"}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (reverse search / alerting): which saved AND-queries match
+    each doc. Saved queries broadcast; one distinct + one hash agg
+    (operators/percolate.py). Query 3 contains an unindexed term → can never
+    match (conjunctive contract)."""
+    from bge_m3_onnx_spark.operators.percolate import percolate, saved_queries_df
+
+    saved = saved_queries_df(spark, _PERC_QUERIES, CFG)
+    return percolate(_tokens(spark, sf_dir), saved, conjunctive=True)
+
+
+def _perc_values() -> str:
+    rows = []
+    for qid, qtext in _PERC_QUERIES.items():
+        terms = sorted(set(tokenize_text(qtext)))
+        rows.extend(f"({qid}, '{t}', {len(terms)})" for t in terms)
+    return ", ".join(rows)
+
+
+SQL_PERCOLATE = _sql(
+    _BASE_CTES + f", saved(query_id, term, n_terms) AS (VALUES {_perc_values()})",
+    """SELECT d.doc_id, s.query_id, CAST(count(*) AS INT) AS n_matched
+       FROM (SELECT DISTINCT doc_id, term FROM tokens) d
+       JOIN saved s ON d.term = s.term
+       GROUP BY d.doc_id, s.query_id, s.n_terms
+       HAVING count(*) = s.n_terms""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2507,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
+        "percolate": q_percolate,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2586,6 +2619,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": SQL_ASOF,
         "range_join_windows": SQL_RANGE_JOIN,
         "hypertable_rollup": SQL_ROLLUP,
+        "percolate": SQL_PERCOLATE,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,

@@ -122,3 +122,18 @@ def test_expand_synonyms_one_hop_distinct(spark):
         (1, "query"), (1, "table"), (1, "scan"),
         (2, "query"), (2, "scan"),
     }
+
+
+def test_percolate_and_or_semantics(spark):
+    from bge_m3_onnx_spark.operators.percolate import percolate, saved_queries_df
+
+    saved = saved_queries_df(spark, {1: "a b", 2: "c", 3: "a zzz"})
+    toks = spark.createDataFrame(
+        [("d1", "a"), ("d1", "b"), ("d2", "a"), ("d3", "c"), ("d3", "a"), ("d1", "a")],
+        "doc_id string, term string",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in percolate(toks, saved, conjunctive=True).collect()}
+    # AND: d1 matches q1 (has a+b); d2 does not (a only); q3 never (zzz unindexed)
+    assert got == {("d1", 1), ("d3", 2)}
+    got_or = {(r["doc_id"], r["query_id"]) for r in percolate(toks, saved, conjunctive=False).collect()}
+    assert got_or == {("d1", 1), ("d2", 1), ("d3", 1), ("d3", 2), ("d1", 3), ("d2", 3), ("d3", 3)}
