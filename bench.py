@@ -85,6 +85,22 @@ def main() -> None:
                 d.unpersist()
     timings["index_build"] = build_sec
 
+    # delta-gap + varbyte payload size vs the raw 3×int64-per-posting layout
+    import pyspark.sql.functions as F
+
+    vb_bytes = int(
+        idx.blocks.agg(
+            F.sum(
+                F.coalesce(F.length("ords_vb"), F.lit(0))
+                + F.coalesce(F.length("tfs_vb"), F.lit(0))
+                + F.coalesce(F.length("dls_vb"), F.lit(0))
+            ).alias("b")
+        ).collect()[0]["b"]
+        or 0
+    )
+    compressed_mb = round(vb_bytes / 1e6, 2)
+    compression_ratio = round((n_postings * 3 * 8) / vb_bytes, 2) if vb_bytes else None
+
     def best_of(n: int, fn) -> float:
         # the sandbox VM throttles episodically; min-of-n isolates engine cost
         times = []
@@ -168,6 +184,8 @@ def main() -> None:
         "turns_per_sec": round(n_turns / build_sec, 1),
         "n_postings": n_postings,
         "n_blocks": n_blocks,
+        "compressed_mb": compressed_mb,
+        "compression_ratio": compression_ratio,
         "cpus": cpus,
         # reference-parity fields (performance_test.py:80-91)
         "initialization_time_seconds": round(init_sec, 3),
