@@ -173,6 +173,31 @@ def main() -> None:
     slat = sorted(lat_ms)
     timings["query_p50"] = slat[len(slat) // 2] / 1000.0 if slat else float("nan")
 
+    # ---- query p50 against the MATERIALIZED index (the real serving path at
+    # 10^12 turns: parquet scans with pushed term filters, nothing cached) ----
+    import shutil
+    import tempfile
+
+    from bge_m3_onnx_spark.plans.checkpoint import load_materialized, materialize_index
+
+    mat_dir = tempfile.mkdtemp(prefix="bench_mat_")
+    try:
+        materialize_index(spark, transcripts, mat_dir, input_path="synth:bench")
+        midx = load_materialized(spark, mat_dir)
+        run_queries(spark, midx, BENCH_QUERIES, k=10).collect()  # warm (df memo)
+        mlat = []
+        for qid, qtext in BENCH_QUERIES.items():
+            samples = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                run_queries(spark, midx, {qid: qtext}, k=10).collect()
+                samples.append((time.monotonic() - t0) * 1000.0)
+            mlat.append(min(samples))
+        mlat.sort()
+        timings["query_p50_materialized"] = mlat[len(mlat) // 2] / 1000.0
+    finally:
+        shutil.rmtree(mat_dir, ignore_errors=True)
+
     total = time.monotonic() - t_all
     out = {
         "metric": "index_build_plus_topk_suite",
