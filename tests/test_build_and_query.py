@@ -135,3 +135,26 @@ def test_per_turn_text_equality_under_stable_ordering(spark, small_transcripts):
     ]
     keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
     assert len(keys) == len(set(keys))  # docID uniqueness
+
+
+def test_edge_corpora_and_queries(spark):
+    """Empty corpus builds and answers queries with 0 rows; non-ASCII and
+    symbol-only queries match nothing (tokenizer strips them); matching is
+    case-insensitive."""
+    from bge_m3_onnx_spark.plans.build_index import build_index
+    from bge_m3_onnx_spark.plans.query import run_queries
+    from bge_m3_onnx_spark.sources.transcripts import TRANSCRIPTS_SCHEMA, synth_transcripts
+
+    empty = spark.createDataFrame([], TRANSCRIPTS_SCHEMA)
+    idx = build_index(empty)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert run_queries(spark, idx, {1: "spark"}, k=5).count() == 0
+
+    idx2 = build_index(synth_transcripts(spark, 40, 5))
+    assert run_queries(spark, idx2, {1: "中文 Русский"}, k=5).count() == 0
+    assert run_queries(spark, idx2, {1: "!@#$%"}, k=5).count() == 0
+    upper = run_queries(spark, idx2, {1: "SPARK sHuFfLe"}, k=5).collect()
+    lower = run_queries(spark, idx2, {1: "spark shuffle"}, k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in upper] == [
+        (r["doc_id"], round(r["score"], 9)) for r in lower
+    ]
