@@ -80,14 +80,18 @@ ENTRY_QUERIES: dict[int, str] = {
 }
 
 
-def _qterms_values() -> str:
-    """VALUES list for the oracle — generated from the SAME tokenizer the engine
-    uses, so query-term sets can never drift between the two sides."""
+def _values_for(queries: dict[int, str]) -> str:
+    """VALUES list for an oracle qterms CTE — generated from the SAME tokenizer
+    the engine uses, so query-term sets can never drift between the two sides."""
     rows = []
-    for qid, qtext in ENTRY_QUERIES.items():
+    for qid, qtext in queries.items():
         for term in sorted(set(tokenize_text(qtext))):
             rows.append(f"({qid}, '{term}')")
     return ", ".join(rows)
+
+
+def _qterms_values() -> str:
+    return _values_for(ENTRY_QUERIES)
 
 
 def _sql(ctes: str, body: str) -> str:
@@ -525,17 +529,12 @@ def q_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
 
 
-def _recency_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _RECENCY_QUERY.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 SQL_RECENCY = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_recency_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_RECENCY_QUERY)}), "
     + _BM25_SCORES_CTE
     + f""", meta AS (
          SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
@@ -648,12 +647,7 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
 
 
-def _bm25f_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _BM25F_QUERIES.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 _SQL_BM25F_CTES = (
@@ -691,7 +685,7 @@ scores AS (
   FROM contrib c JOIN fdf f ON c.term = f.term CROSS JOIN nd
   GROUP BY c.query_id, c.doc_id
 )"""
-).replace("__QTERMS__", _bm25f_qterms_values())
+).replace("__QTERMS__", _values_for(_BM25F_QUERIES))
 
 SQL_BM25F = _sql(
     _SQL_BM25F_CTES,
@@ -764,17 +758,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _HYBRID_QUERY.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 SQL_HYBRID = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_hybrid_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_HYBRID_QUERY)}), "
     + _BM25_SCORES_CTE
     + f""", sparse_rank AS (
          SELECT CAST(string_split(doc_id, ':')[2] AS BIGINT) * {_CONVS_MOD}
@@ -883,17 +872,12 @@ def q_bm25_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
 
 
-def _neg_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _NEG_QUERY.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 SQL_NEGATION = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_neg_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_NEG_QUERY)}), "
     + _BM25_SCORES_CTE,
     f"""SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
          SELECT query_id, doc_id,
@@ -957,17 +941,12 @@ def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _explain_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _EXPLAIN_QUERY.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 SQL_SCORE_EXPLAIN = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_EXPLAIN_QUERY)}), "
     + _BM25_SCORES_CTE
     + """, top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1)""",
     f"""SELECT p.doc_id, p.term, p.tf, t.df,
@@ -1010,7 +989,7 @@ def q_conv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONV = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_EXPLAIN_QUERY)}), "
     + _BM25_SCORES_CTE
     + """, conv AS (
          SELECT query_id, string_split(doc_id, ':')[1] AS conv_id,
@@ -1045,18 +1024,13 @@ def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
 
 
-def _syn_qterms_values() -> str:
-    rows = []
-    for qid, qtext in _SYN_QUERY.items():
-        for term in sorted(set(tokenize_text(qtext))):
-            rows.append(f"({qid}, '{term}')")
-    return ", ".join(rows)
+
 
 
 SQL_SYNONYM = _sql(
     _BASE_CTES
     + f""", syn(term, syn) AS (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SYN_PAIRS)}),
-       qbase(query_id, term) AS (VALUES {_syn_qterms_values()}),
+       qbase(query_id, term) AS (VALUES {_values_for(_SYN_QUERY)}),
        qterms AS (
          SELECT query_id, term FROM qbase
          UNION
@@ -1188,7 +1162,7 @@ def q_snippet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SNIPPET_TEXT = _sql(
     _BASE_CTES
-    + f", qterms(query_id, term) AS (VALUES {_explain_qterms_values()}), "
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_EXPLAIN_QUERY)}), "
     + _BM25_SCORES_CTE
     + f""", top AS (
          SELECT doc_id, CAST(rank AS INT) AS rank FROM (
