@@ -1368,6 +1368,93 @@ SQL_PERCOLATE = _sql(
 )
 
 
+_FUZZY_SEARCH_Q = "quary tabel scann"  # 3 misspellings: query/table+tale?/scan
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-corrected SEARCH: each misspelled query term expands through the
+    SymSpell deletion-neighborhood (dist ≤ 1) into its dictionary matches, then
+    the expanded set scores as ordinary BM25 (compose fuzzy_term_match →
+    score_postings — the Lucene FuzzyQuery rewrite). Terms with no close
+    dictionary match contribute nothing."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.operators.fuzzy import fuzzy_term_match
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt_raw = spark.createDataFrame(
+        [(1, t) for t in sorted(set(tokenize_text(_FUZZY_SEARCH_Q)))], "query_id int, qterm string"
+    )
+    expanded = fuzzy_term_match(idx.terms, qt_raw.select("qterm").distinct()).select(
+        "term", "df"
+    ).distinct()
+    qt = qt_raw.select("query_id").distinct().crossJoin(expanded)  # 1-row × matches
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    res = topk(scored, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+SQL_FUZZY_SEARCH = _sql(
+    _BASE_CTES
+    + f""", fq(qterm) AS (VALUES {", ".join("('" + t + "')" for t in sorted(set(tokenize_text(_FUZZY_SEARCH_Q))))}),
+       qterms AS (
+         SELECT DISTINCT 1 AS query_id, t.term
+         FROM termdf t, fq WHERE levenshtein(fq.qterm, t.term) <= 1
+       ), """
+    + _BM25_SCORES_CTE,
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores) WHERE rank <= 10""",
+)
+
+
+def q_quality_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static doc boost from the corpus-quality scorer: BM25 × (0.5 +
+    alnum_ratio) — relevance and data-quality signals composed in one ranking
+    (the Lucene per-doc boost / ES rank_feature shape). The boost joins only
+    the candidate set; at scale it is a precomputed doc-feature column on the
+    materialized index, exactly like dl."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _EXPLAIN_QUERY, CFG).join(idx.terms, "term")
+    base = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    t = _transcripts(spark, sf_dir)
+    boost = t.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        (
+            F.lit(0.5)
+            + F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^a-zA-Z0-9]", ""))
+            / F.greatest(F.length(F.coalesce(F.col("text"), F.lit(""))), F.lit(1))
+        ).alias("b"),
+    )
+    boosted = base.join(boost, "doc_id").select(
+        "query_id", "doc_id", (F.col("score") * F.col("b")).alias("score")
+    )
+    res = topk(boosted, k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+SQL_QUALITY_BOOSTED = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_EXPLAIN_QUERY)}), "
+    + _BM25_SCORES_CTE
+    + """, boost AS (
+         SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS doc_id,
+                0.5 + length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+                      / greatest(length(coalesce(text, '')), 1) AS b
+         FROM transcripts
+       )""",
+    """SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, s.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s.score * b.b DESC, s.doc_id ASC) AS rank,
+                ROUND(s.score * b.b, 5) AS score_r
+         FROM scores s JOIN boost b ON s.doc_id = b.doc_id) WHERE rank <= 10""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2514,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
         "percolate": q_percolate,
+        "fuzzy_search": q_fuzzy_search,
+        "quality_boosted_topk": q_quality_boosted_topk,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2594,6 +2683,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": SQL_RANGE_JOIN,
         "hypertable_rollup": SQL_ROLLUP,
         "percolate": SQL_PERCOLATE,
+        "fuzzy_search": SQL_FUZZY_SEARCH,
+        "quality_boosted_topk": SQL_QUALITY_BOOSTED,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
