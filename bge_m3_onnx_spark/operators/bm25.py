@@ -30,6 +30,27 @@ def bm25_term_score(
     return idf * tf_d * (cfg.k1 + 1.0) / norm
 
 
+def sum_scores_deterministic(per_term: DataFrame, keys: list[str]) -> DataFrame:
+    """per_term (keys..., term, s) → (keys..., score): per-group fold over the
+    TERM-SORTED contribution list instead of F.sum.
+
+    Why not F.sum: IEEE addition is order-dependent at the last ulp, and Spark's
+    aggregate order follows partition arrival. With k-boundary score ties the
+    doc_id tiebreak then hangs on summation noise — measured at 10M docs, the
+    exact path and the WAND rescore produced 9.186874808545442 vs
+    …5440 for the SAME doc and disagreed on the tied top-k membership. Sorting
+    the ≤|q| contributions by term before a left fold makes every path that
+    scores a doc produce the bit-identical double, independent of partitioning,
+    plan shape, or arrival order. Cost: collect_list of ≤|q| structs per
+    candidate doc in place of a plain sum — same single shuffle, partial merge
+    still applies."""
+    return (
+        per_term.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("cs"))
+        .select(*keys, F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["s"]).alias("score"))
+    )
+
+
 def score_postings(
     postings: DataFrame,
     query_terms: DataFrame,
@@ -55,6 +76,7 @@ def score_postings(
     per_term = matched.select(
         "query_id",
         "doc_id",
+        "term",
         bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
     )
     # Driver-sized exchange (plans/query.py:_agg_partitions): an explicit hash
@@ -63,7 +85,7 @@ def score_postings(
     # sized to the candidate volume instead of a fixed width.
     if agg_partitions is not None:
         per_term = per_term.repartition(agg_partitions, "query_id", "doc_id")
-    return per_term.groupBy("query_id", "doc_id").agg(F.sum("s").alias("score"))
+    return sum_scores_deterministic(per_term, ["query_id", "doc_id"])
 
 
 def score_postings_conjunctive(
@@ -92,6 +114,7 @@ def score_postings_conjunctive(
     per_term = matched.select(
         "query_id",
         "doc_id",
+        "term",
         bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
     )
     need = F.create_map(
@@ -99,11 +122,17 @@ def score_postings_conjunctive(
     )
     if agg_partitions is not None:
         per_term = per_term.repartition(agg_partitions, "query_id", "doc_id")
+    # same deterministic term-sorted fold as score_postings (see
+    # sum_scores_deterministic); the matched-term count rides as size(cs)
     return (
         per_term.groupBy("query_id", "doc_id")
-        .agg(F.sum("s").alias("score"), F.count("*").alias("nm"))
-        .filter(F.col("nm") == F.element_at(need, F.col("query_id")))
-        .drop("nm")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("cs"))
+        .filter(F.size("cs") == F.element_at(need, F.col("query_id")))
+        .select(
+            "query_id",
+            "doc_id",
+            F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["s"]).alias("score"),
+        )
     )
 
 

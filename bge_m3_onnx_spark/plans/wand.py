@@ -67,7 +67,7 @@ from pyspark.sql.types import (
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
-from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, topk
+from bge_m3_onnx_spark.operators.bm25 import bm25_term_score, idf_col, sum_scores_deterministic, topk
 from bge_m3_onnx_spark.operators.compress import decode_blocks
 from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 
@@ -75,17 +75,19 @@ _BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_v
 
 
 def _score_decoded(decoded: DataFrame, qt: DataFrame, avgdl: float, cfg: EngineConfig) -> DataFrame:
-    """decoded (term, doc_ord, tf, dl) × qt (query_id, term, idf) → per-doc sums."""
-    return (
-        decoded.join(F.broadcast(qt), "term")
-        .select(
-            "query_id",
-            "doc_ord",
-            bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
-        )
-        .groupBy("query_id", "doc_ord")
-        .agg(F.sum("s").alias("score"))
+    """decoded (term, doc_ord, tf, dl) × qt (query_id, term, idf) → per-doc sums.
+
+    Summation is the TERM-SORTED deterministic fold shared with the exact path
+    (operators/bm25.py:sum_scores_deterministic): WAND's rank-identity with the
+    exact plan must not hang on IEEE summation order when scores tie at the
+    k boundary (measured failure at 10M docs before this)."""
+    per_term = decoded.join(F.broadcast(qt), "term").select(
+        "query_id",
+        "doc_ord",
+        "term",
+        bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
     )
+    return sum_scores_deterministic(per_term, ["query_id", "doc_ord"])
 
 
 def run_queries_wand(
@@ -145,23 +147,22 @@ def run_queries_wand(
                 ]
             ),
         )
-    import math
-
     n, avgdl = idx.n_docs, idx.avgdl
-    qt_stats_rows = [
-        (r["query_id"], r["term"], math.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0), int(r["df"]))
-        for r in qt_rows
-    ]
+    qt_stats_rows = [(r["query_id"], r["term"], int(r["df"])) for r in qt_rows]
     qt_schema = StructType(
         [
             StructField("query_id", IntegerType(), False),
             StructField("term", StringType(), False),
-            StructField("idf", DoubleType(), False),
             StructField("df", LongType(), False),
         ]
     )
-    qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema)
-    qterms_list = sorted({t for _, t, _, _ in qt_stats_rows})
+    # idf as the SAME Spark-side expression the exact path uses (idf_col):
+    # java.lang.Math.log and Python math.log can disagree at the last ulp, and
+    # WAND's rank-identity with the exact plan must not depend on libm flavor.
+    qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema).withColumn(
+        "idf", idf_col(F.col("df").cast("double"), n)
+    )
+    qterms_list = sorted({t for _, t, _ in qt_stats_rows})
 
     # blocks restricted to query terms: pushed isin → partition/row-group pruning.
     qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).persist()
@@ -261,7 +262,7 @@ def run_queries_wand(
     theta_map = F.create_map(
         *[
             x
-            for qid in sorted({q for q, _, _, _ in qt_stats_rows})
+            for qid in sorted({q for q, _, _ in qt_stats_rows})
             for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
         ]
     )
@@ -347,6 +348,7 @@ def run_queries_wand(
         stats_out["blocks_total"] = qblocks.count()
         stats_out["blocks_surviving"] = surviving.count()
         stats_out["blocks_extra_decoded"] = extra_blocks.count()
+        stats_out["theta"] = dict(theta)
     full = decoded.unionByName(decode_blocks(extra_blocks.select(*_BLOCK_COLS)))
     scored = _score_decoded(
         full.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg

@@ -100,3 +100,26 @@ def test_wand_routes_small_queries_to_exact(spark, built, query_set):
     assert [(r, d) for v in machinery.values() for r, d, _ in v] == [
         (r, d) for v in exact.values() for r, d, _ in v
     ]
+
+
+def test_wand_scores_bit_identical_to_exact(spark):
+    """Rank-identity must not hang on IEEE summation order: both paths use the
+    term-sorted deterministic fold (operators/bm25.py:sum_scores_deterministic)
+    and the same Spark-side idf expression, so scores are BIT-identical — no
+    rounding in this comparison. (Regression: at 10M docs a 1-ulp sum-order
+    difference flipped tied top-k membership between the paths.)"""
+    from bge_m3_onnx_spark.plans.build_index import build_index
+    from bge_m3_onnx_spark.plans.query import run_queries
+    from bge_m3_onnx_spark.plans.wand import run_queries_wand
+    from bge_m3_onnx_spark.sources.transcripts import synth_transcripts
+
+    idx = build_index(
+        synth_transcripts(spark, n_convs=120, turns_per_conv=5),
+        with_ordinals=True,
+        with_blocks=True,
+    )
+    q = {1: "spark shuffle partition", 2: "the", 3: "index varbyte"}
+    e = run_queries(spark, idx, q, k=10).collect()
+    w = run_queries_wand(spark, idx, q, k=10, force_wand=True).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, e)) == sorted(map(key, w))  # exact floats, no round
