@@ -50,7 +50,8 @@ def main() -> None:
             fmt(plan_exact),
             [
                 "BroadcastHashJoin on term (query side is a literal local relation — no df-lookup subjob)",
-                "PushedFilters / partial HashAggregate before the final agg",
+                "PushedFilters on the postings scan; ONE driver-sized Exchange feeding the "
+                "two-phase ObjectHashAggregate (deterministic term-sorted score fold)",
                 "TakeOrderedAndProject — no window exchange over the candidate set",
                 "ReadSchema excludes text and varbyte payloads",
             ],
