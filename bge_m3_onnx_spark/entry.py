@@ -1455,6 +1455,44 @@ SQL_QUALITY_BOOSTED = _sql(
 )
 
 
+_FILTER_ROLE = "assistant"
+
+
+def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search (the ES bool-filter shape): BM25 top-10 restricted to
+    docs whose role = 'assistant'. The filter semi-joins the CANDIDATE set
+    against the doc-metadata relation before the top-k window — scoring work is
+    unchanged, losers are dropped pre-rank, and on a materialized index the
+    role column is a doc-feature rider like dl (no text rescan)."""
+    from bge_m3_onnx_spark.operators.bm25 import score_postings, topk
+    from bge_m3_onnx_spark.plans.query import query_terms_df
+
+    idx = build_index(_transcripts(spark, sf_dir), CFG, cache=False)
+    qt = query_terms_df(spark, _EXPLAIN_QUERY, CFG).join(idx.terms, "term")
+    scored = score_postings(idx.postings, qt, idx.n_docs, idx.avgdl, CFG)
+    t = _transcripts(spark, sf_dir)
+    allowed = t.filter(F.col("role") == _FILTER_ROLE).select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id")
+    )
+    res = topk(scored.join(allowed, "doc_id", "left_semi"), k=10)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 5).alias("score_r"))
+
+
+SQL_FILTERED = _sql(
+    _BASE_CTES
+    + f", qterms(query_id, term) AS (VALUES {_values_for(_EXPLAIN_QUERY)}), "
+    + _BM25_SCORES_CTE,
+    f"""SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_r FROM (
+         SELECT query_id, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+                ROUND(score, 5) AS score_r
+         FROM scores
+         WHERE doc_id IN (SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                          FROM transcripts WHERE role = '{_FILTER_ROLE}')
+       ) WHERE rank <= 10""",
+)
+
+
 def q_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe dense ordinal assignment == rank-by-key (the SQL window is the
     spec; the engine computes it without a single-task global sort)."""
@@ -2603,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "fuzzy_search": q_fuzzy_search,
         "quality_boosted_topk": q_quality_boosted_topk,
+        "filtered_search": q_filtered_search,
         "doc_ordinals": q_ordinals,
         # reference-operator parity (SURVEY §2.2-2.8)
         "length_category": q_length_category,
@@ -2685,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate": SQL_PERCOLATE,
         "fuzzy_search": SQL_FUZZY_SEARCH,
         "quality_boosted_topk": SQL_QUALITY_BOOSTED,
+        "filtered_search": SQL_FILTERED,
         "doc_ordinals": SQL_ORDINALS,
         "length_category": SQL_LENCAT,
         "domain_detect": SQL_DOMAIN,
