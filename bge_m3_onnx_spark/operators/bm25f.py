@@ -150,17 +150,29 @@ def score_bm25f(
         "query_id",
         "term",
         "doc_id",
+        "field",
         "idf",
         (_field_weight(fw) * F.col("tf").cast("double") / _field_norm(avgdl_by_field, cfg)).alias(
             "wtf"
         ),
     )
+    # both summations use the sorted-fold discipline of
+    # operators/bm25.py:sum_scores_deterministic — scores must not vary with
+    # partition arrival order or a tie at the top-k boundary becomes unstable
     per_term = contrib.groupBy("query_id", "term", "doc_id").agg(
-        F.sum("wtf").alias("tfw"), F.max("idf").alias("idf")
+        F.array_sort(F.collect_list(F.struct("field", "wtf"))).alias("cs"),
+        F.max("idf").alias("idf"),
+    ).select(
+        "query_id",
+        "term",
+        "doc_id",
+        "idf",
+        F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["wtf"]).alias("tfw"),
     )
     sat = F.col("idf") * F.col("tfw") * (cfg.k1 + 1.0) / (F.lit(cfg.k1) + F.col("tfw"))
-    return (
-        per_term.select("query_id", "doc_id", sat.alias("s"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("s").alias("score"))
+    from bge_m3_onnx_spark.operators.bm25 import sum_scores_deterministic
+
+    return sum_scores_deterministic(
+        per_term.select("query_id", "doc_id", "term", sat.alias("s")),
+        ["query_id", "doc_id"],
     )
