@@ -73,10 +73,19 @@ def maxsim_topk(
     k: int = 10,
     id_col: str = "vec_id",
     mv_col: str = "mv",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """docs (id_col, mv_col: array<array<double>>) × query (1 row, qmv) →
     top-k (id_col, maxsim) by score DESC, id ASC. Query side is broadcast;
-    the plan is a map + TakeOrderedAndProject — no shuffle of the doc relation."""
+    the plan is a map + TakeOrderedAndProject — no shuffle of the doc relation.
+
+    ``candidates`` (a 1-column DataFrame of ``id_col`` values, e.g. a BM25/ANN
+    head's top-N) bounds the scan: maxsim is a RERANKER, and at 10^12-doc scale
+    it must only ever run over a candidate slice — the semi-join prunes the doc
+    relation before any array algebra runs. Full-scan mode (candidates=None) is
+    for fixtures/small corpora only."""
+    if candidates is not None:
+        docs = docs.join(F.broadcast(candidates.select(id_col)), id_col, "left_semi")
     scored = docs.crossJoin(F.broadcast(query)).select(
         id_col, maxsim(F.col("qmv"), F.col(mv_col)).alias("maxsim")
     )

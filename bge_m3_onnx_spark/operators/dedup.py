@@ -227,6 +227,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -247,6 +248,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # A component deeper than max_iters would otherwise yield silently
+        # split clusters (wrong canonical representatives downstream).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — near-dup "
+            "graphs this deep usually indicate a degenerate candidate set"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

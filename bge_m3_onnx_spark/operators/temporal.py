@@ -36,17 +36,29 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: the latest right row of the same ``key`` with
     right_ts <= left_ts. Left rows with no prior right row keep NULLs
     (left-outer as-of). Returns left's columns + prefixed right columns.
+
+    When several right rows share (key, right_ts), the winner is the one with
+    the greatest ``tiebreak`` column value (a stable hash of the right row when
+    not given) — without a final sort key the pick would follow partition
+    arrival order and could differ run to run.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     lcols = left.columns
+    r_tie = (
+        F.col(tiebreak).cast("long")
+        if tiebreak is not None
+        else F.xxhash64(*[F.col(c) for c in [*right_cols, right_ts]])
+    )
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{prefix}{right_ts}"),
     )
@@ -55,13 +67,14 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        r_tie.alias("__tie"),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
         F.col(right_ts).alias(f"{prefix}{right_ts}"),
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -171,7 +171,11 @@ def run_queries_wand(
     # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
     # decode at least k seed blocks per term (≥1 doc each, typically ~block_size).
     n_seed = max(cfg.wand_seed_blocks, k)
-    # ---- job 1 (metadata only, no posting bytes): top seed blocks per term.
+    # ---- phase 1 (fused into ONE driver round-trip — r2 measured ~9 s of fixed
+    # machinery cost, much of it driver job latency): seed selection stays
+    # DISTRIBUTED (no metadata collect); the only collect is the θ job below,
+    # which carries the per-term metadata (global max, block_range) along as
+    # tagged rows in the same result.
     # rk=1 row doubles as the per-term global max AND carries the stored
     # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
     # Two-phase (salted) top-S: a 10^12-scale stopword term has millions of
@@ -182,7 +186,7 @@ def run_queries_wand(
         F.desc("block_max_score"), F.asc("block_id")
     )
     w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
-    seed_meta = (
+    seed_sel = (
         qblocks.select("term", "block_id", "block_range", "block_max_score")
         .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
         .withColumn("rk1", F.row_number().over(w_pre))
@@ -190,19 +194,22 @@ def run_queries_wand(
         .withColumn("rk", F.row_number().over(w_seed))
         .filter(F.col("rk") <= n_seed)
         .select("term", "block_id", "block_range", "block_max_score", "rk")
-        .collect()
+        .persist()
     )
-    tmax = {r["term"]: r["block_max_score"] for r in seed_meta if r["rk"] == 1}
-    range_by_term = {r["term"]: int(r["block_range"]) for r in seed_meta if r["rk"] == 1}
-    seed_keys = [f"{r['term']}\x00{r['block_id']}" for r in seed_meta]
+    ranges_sel = seed_sel.filter(F.col("rk") == 1).select(
+        "term",
+        F.col("block_range").cast("long").alias("rng"),
+        F.col("block_max_score").alias("tmax"),
+    )
 
-    # ---- job 2: θ from seed candidates, EXACT-rescored ----
+    # ---- θ from seed candidates, EXACT-rescored ----
     # Partial seed sums pick the candidates; their covering blocks (pure function
     # of the stored ranges, ≤ k·|q|·|terms| blocks) are decoded and the candidates
     # scored exactly. θ = k-th best exact score — a lower bound of the true k-th
     # (k-doc-subset argument) that is dramatically tighter than the r1 partial θ.
-    block_key = F.concat_ws("\x00", F.col("term"), F.col("block_id").cast("string"))
-    seed_blocks = qblocks.filter(block_key.isin(seed_keys)).select(*_BLOCK_COLS)
+    seed_blocks = qblocks.join(
+        F.broadcast(seed_sel.select("term", "block_id")), ["term", "block_id"], "left_semi"
+    ).select(*_BLOCK_COLS)
     seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
     w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
     seed_top = (
@@ -210,16 +217,12 @@ def run_queries_wand(
         .filter(F.col("rk") <= k)
         .select("query_id", "doc_ord")
     )
-    range_map = F.create_map(
-        *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
-    )
     seed_needed = (
         seed_top.join(F.broadcast(qt_stats.select("query_id", "term")), "query_id")
+        .join(F.broadcast(ranges_sel.select("term", "rng")), "term")
         .select(
             "term",
-            F.floor(F.col("doc_ord") / F.element_at(range_map, F.col("term")))
-            .cast("long")
-            .alias("block_id"),
+            F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"),
         )
         .dropDuplicates(["term", "block_id"])
     )
@@ -227,13 +230,31 @@ def run_queries_wand(
     seed_exact = _score_decoded(decode_blocks(seed_cover.select(*_BLOCK_COLS)), qt_stats, avgdl, cfg).join(
         seed_top, ["query_id", "doc_ord"], "left_semi"
     )
-    theta = {
-        r["query_id"]: r["score"]
-        for r in seed_exact.withColumn("rk", F.row_number().over(w_theta))
+    # ONE collect for θ AND the per-term metadata (tagged union) — the scalars
+    # phases 2-3 need on the driver to build literal map expressions.
+    theta_rows = (
+        seed_exact.withColumn("rk", F.row_number().over(w_theta))
         .filter(F.col("rk") == k)
-        .select("query_id", "score")
-        .collect()
-    }
+        .select(
+            F.lit("theta").alias("tag"),
+            F.col("query_id").cast("long").alias("qid"),
+            F.lit(None).cast("string").alias("term"),
+            F.col("score").alias("v1"),
+            F.lit(None).cast("long").alias("v2"),
+        )
+    )
+    meta_rows = ranges_sel.select(
+        F.lit("meta").alias("tag"),
+        F.lit(None).cast("long").alias("qid"),
+        "term",
+        F.col("tmax").alias("v1"),
+        F.col("rng").alias("v2"),
+    )
+    collected = theta_rows.unionByName(meta_rows).collect()
+    seed_sel.unpersist()
+    theta = {int(r["qid"]): r["v1"] for r in collected if r["tag"] == "theta"}
+    tmax = {r["term"]: r["v1"] for r in collected if r["tag"] == "meta"}
+    range_by_term = {r["term"]: int(r["v2"]) for r in collected if r["tag"] == "meta"}
 
     # ---- phase 2: ordinal-aligned segment pruning (exact, lossless) ----
     # Every term's blocks TILE the doc-ordinal axis (block_id = ord // range), so
@@ -256,7 +277,7 @@ def run_queries_wand(
             "query_id int, rank int, doc_id string, score double",
         )
     qt_pairs = qt_stats.select("query_id", "term")
-    range_map = F.create_map(  # rebuilt: phase-2 scope (θ job reused its own)
+    range_map = F.create_map(
         *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
     )
     theta_map = F.create_map(
@@ -269,12 +290,38 @@ def run_queries_wand(
     block_meta = qblocks.select(
         "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
     )
-    # distinct segment boundaries per query (starts of any query term's blocks)
+    # distinct segment boundaries per query (starts of any query term's blocks),
+    # PRE-FILTERED by the classic bound before the ×|q| fan-out (r2 advisor: a
+    # stopword term contributes millions of boundaries, and expanding every one
+    # against every query term made the metadata job O(|boundaries|·|q|)).
+    # For a boundary x contributed by term t:
+    #     s_q(x) ≤ block_max(t, x) + Σ_{t'≠t} global_max(t')   (classic bound)
+    # so s_q(x) ≥ θ implies EVERY contributing term's classic bound clears θ —
+    # filtering on min(classic) ≥ θ is lossless and removes the fan-out for
+    # segments only a weak stopword block opened.
+    tmax_map = F.create_map(
+        *[x for t, m in sorted(tmax.items()) for x in (F.lit(t), F.lit(float(m)))]
+    )
+    qsum = {
+        qid: sum(tmax.get(t, 0.0) for q2, t, _ in qt_stats_rows if q2 == qid)
+        for qid in sorted({q for q, _, _ in qt_stats_rows})
+    }
+    qsum_map = F.create_map(
+        *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
+    )
     bounds = (
-        block_meta.select("term", "x")
+        block_meta.select("term", "x", "block_max_score")
         .join(F.broadcast(qt_pairs), "term")
+        .groupBy("query_id", "x")
+        .agg(
+            F.min(
+                F.col("block_max_score")
+                + F.element_at(qsum_map, F.col("query_id"))
+                - F.element_at(tmax_map, F.col("term"))
+            ).alias("classic_bound")
+        )
+        .filter(F.col("classic_bound") >= F.element_at(theta_map, F.col("query_id")))
         .select("query_id", "x")
-        .dropDuplicates(["query_id", "x"])
     )
     # active block of EVERY query term at each boundary; inner join drops terms
     # with no block there (they contribute 0 to the sum — correct)

@@ -58,3 +58,15 @@ def test_maxsim_matches_numpy_and_self_query_wins(spark):
     assert math.isclose(got[2], 3.0, rel_tol=1e-12)
     top = maxsim_topk(docs, query, k=1).collect()[0]
     assert top["vec_id"] == 2
+
+    # candidate-bounded rerank (the only valid mode at scale): restricting to a
+    # candidate slice must reproduce the full-scan scores on exactly that slice
+    # — and never surface a non-candidate, even the otherwise-best doc.
+    cands = df.filter("vec_id in (0, 1, 4)").select("vec_id")
+    bounded = {
+        r["vec_id"]: r["maxsim"]
+        for r in maxsim_topk(docs, query, k=6, candidates=cands).collect()
+    }
+    assert set(bounded) == {0, 1, 4}
+    for i in (0, 1, 4):
+        assert math.isclose(bounded[i], got[i], rel_tol=1e-12)
