@@ -54,6 +54,8 @@ surviving + candidate-covering blocks.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -135,6 +137,41 @@ def run_queries_wand(
         return run_queries(spark, idx, queries, k=k, cfg=cfg)
     if stats_out is not None:
         stats_out["routed"] = False
+    # Size EVERY internal shuffle from driver-known Σdf (the same cost model as
+    # the exact path's _agg_partitions): WAND's phases are metadata-sized jobs,
+    # and running their ~dozen shuffles at the session default (e.g. 64) puts
+    # hundreds of near-empty tasks on the latency path — measured ~10 s of
+    # fixed machinery cost at 100k turns before this. All actions (collects +
+    # the eager localCheckpoint) happen inside this function, so a scoped conf
+    # set/restore covers the whole plan.
+    from bge_m3_onnx_spark.plans.query import _AGG_ROWS_PER_TASK
+
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    _need = max(
+        1,
+        min(
+            int(_old_sp),
+            (sum(r["df"] for r in qt_rows) + _AGG_ROWS_PER_TASK - 1) // _AGG_ROWS_PER_TASK,
+        ),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(_need))
+    try:
+        return _run_queries_wand_forced(
+            spark, idx, queries, k, cfg, qt_rows, stats_out
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
+
+
+def _run_queries_wand_forced(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: dict[int, str],
+    k: int,
+    cfg: EngineConfig,
+    qt_rows: list[dict],
+    stats_out: dict | None,
+) -> DataFrame:
     if not qt_rows:
         return spark.createDataFrame(
             [],
@@ -159,13 +196,23 @@ def run_queries_wand(
     # idf as the SAME Spark-side expression the exact path uses (idf_col):
     # java.lang.Math.log and Python math.log can disagree at the last ulp, and
     # WAND's rank-identity with the exact plan must not depend on libm flavor.
+    # coalesce(1): parallelized local rows default to defaultParallelism (e.g.
+    # 32) partitions, and every broadcast of this tiny relation would otherwise
+    # run a 32-near-empty-task subjob — ~4 broadcasts per query on the fixed-
+    # cost path.
     qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema).withColumn(
         "idf", idf_col(F.col("df").cast("double"), n)
     )
     qterms_list = sorted({t for _, t, _ in qt_stats_rows})
 
     # blocks restricted to query terms: pushed isin → partition/row-group pruning.
-    qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).persist()
+    # Coalesced to the Σdf-sized width (spark.sql.shuffle.partitions was scoped
+    # to it by the caller): the source relation keeps the BUILD's partitioning,
+    # and without the coalesce every downstream decode/join stage spins that
+    # many near-empty tasks — with 4 mapInPandas decodes per query the per-task
+    # Python/Arrow round-trips dominated the machinery cost (measured).
+    _width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).coalesce(_width).persist()
 
     # Seeds must plausibly contain k strong docs per query or θ collapses to a
     # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
@@ -250,7 +297,10 @@ def run_queries_wand(
         F.col("tmax").alias("v1"),
         F.col("rng").alias("v2"),
     )
+    _t0_theta = time.monotonic()
     collected = theta_rows.unionByName(meta_rows).collect()
+    _t_theta = time.monotonic() - _t0_theta
+    _t0_final = time.monotonic()
     seed_sel.unpersist()
     theta = {int(r["qid"]): r["v1"] for r in collected if r["tag"] == "theta"}
     tmax = {r["term"]: r["v1"] for r in collected if r["tag"] == "meta"}
@@ -342,9 +392,51 @@ def run_queries_wand(
         .agg(F.sum("block_max_score").alias("s"))
         .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
     )
-    # back to block keys: the boundary x lies in block x // range_t of each term
+    # ---- MaxScore essential-term partition (driver-side, from θ + tmax) ----
+    # Sort each query's terms by global max ascending; the maximal prefix whose
+    # cumulative Σtmax stays BELOW θ is NON-ESSENTIAL: those terms alone cannot
+    # lift any doc to θ, so every top-k doc contains ≥1 essential term.
+    # Candidates therefore come from ESSENTIAL surviving blocks only, and
+    # non-essential terms are decoded later, only for candidates that can still
+    # clear θ. This is what makes mixed rare+hot queries cheap: for
+    # "rare_term the", θ (driven by the rare term's idf) exceeds tmax("the"),
+    # so "the" is non-essential and its millions of postings are decoded only
+    # for the handful of rare-term candidates within reach of θ — the
+    # ordinal-tiled segment bound alone cannot do this, because the rare term's
+    # wide tiles carry its high max into every segment (measured: 618/682
+    # blocks survived for "iceberg3 the"; with MaxScore only the rare term's
+    # blocks are candidate sources).
+    qids = sorted({q for q, _, _ in qt_stats_rows})
+    ess_pairs_rows: list[tuple[int, str]] = []
+    ness_pairs_rows: list[tuple[int, str]] = []
+    ness_sum: dict[int, float] = {}
+    for qid in qids:
+        tq = sorted((tmax.get(t, 0.0), t) for q2, t, _ in qt_stats_rows if q2 == qid and t in tmax)
+        th = theta.get(qid, float("-inf"))
+        cum, n_ness = 0.0, 0
+        for m, t in tq:
+            if cum + m < th:
+                cum += m
+                n_ness += 1
+            else:
+                break
+        ness_sum[qid] = cum
+        ness_pairs_rows += [(qid, t) for _, t in tq[:n_ness]]
+        ess_pairs_rows += [(qid, t) for _, t in tq[n_ness:]]
+    pair_schema = StructType(
+        [StructField("query_id", IntegerType(), False), StructField("term", StringType(), False)]
+    )
+    ess_pairs = spark.createDataFrame(ess_pairs_rows, pair_schema)
+    ness_pairs = spark.createDataFrame(ness_pairs_rows, pair_schema)
+    ness_map = F.create_map(
+        *[x for qid in qids for x in (F.lit(int(qid)), F.lit(float(ness_sum[qid])))]
+    )
+
+    # back to block keys: the boundary x lies in block x // range_t of each
+    # ESSENTIAL term (candidate sources; non-essential blocks are never
+    # candidate sources — see the MaxScore argument above)
     surviving_keys = (
-        surviving_x.join(F.broadcast(qt_pairs), "query_id")
+        surviving_x.join(F.broadcast(ess_pairs), "query_id")
         .select(
             "term",
             F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
@@ -355,18 +447,15 @@ def run_queries_wand(
     )
     surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
 
-    # ---- phase 3: candidates from surviving blocks, exact rescore ----
+    # ---- phase 3a: candidates + exact ESSENTIAL score ----
     # decoded is persisted: it feeds the candidate derivation AND is REUSED as
-    # the bulk of the rescore input — phase 3 decodes only the needed-but-not-
-    # surviving remainder instead of re-decoding every needed block (in the
-    # weak-pruning worst case this halves the machinery's total decode volume).
+    # the bulk of the essential-rescore input — only the needed-but-not-
+    # surviving remainder is decoded on top.
     decoded = decode_blocks(surviving.select(*_BLOCK_COLS)).persist()
-    # per-query candidates: docs seen in any surviving block of that query's terms.
-    # Lazily persisted: the final job evaluates it once (for the needed-blocks
-    # branch), caches the partitions, and the semi-join branch reuses them — no
-    # eager count() job (VERDICT r1: that round-trip bought nothing).
+    # per-query candidates: docs in any surviving block of a term ESSENTIAL to
+    # that query. Lazily persisted (no eager count — VERDICT r1).
     candidates = (
-        decoded.join(F.broadcast(qt_stats.select("query_id", "term")), "term")
+        decoded.join(F.broadcast(ess_pairs), "term")
         .select("query_id", "doc_ord")
         .dropDuplicates(["query_id", "doc_ord"])
         .persist()
@@ -380,27 +469,56 @@ def run_queries_wand(
             [StructField("term", StringType(), False), StructField("rng", LongType(), False)]
         ),
     )
-    needed = (
-        candidates.select("doc_ord")
-        .distinct()
-        .crossJoin(F.broadcast(ranges_df))
+    needed_ess = (
+        candidates.join(F.broadcast(ess_pairs), "query_id")
+        .join(F.broadcast(ranges_df), "term")
         .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
         .dropDuplicates(["term", "block_id"])
     )
-    # only decode needed blocks that phase 2 did NOT already decode
-    extra_blocks = qblocks.join(needed, ["term", "block_id"], "left_semi").join(
+    extra_ess = qblocks.join(needed_ess, ["term", "block_id"], "left_semi").join(
         surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
     )
-    if stats_out is not None:  # diagnostic counts, never in the hot path
-        stats_out["blocks_total"] = qblocks.count()
-        stats_out["blocks_surviving"] = surviving.count()
-        stats_out["blocks_extra_decoded"] = extra_blocks.count()
-        stats_out["theta"] = dict(theta)
-    full = decoded.unionByName(decode_blocks(extra_blocks.select(*_BLOCK_COLS)))
-    scored = _score_decoded(
-        full.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+    full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
+    qt_ess = qt_stats.join(F.broadcast(ess_pairs), ["query_id", "term"], "left_semi")
+    s_ess = _score_decoded(
+        full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_ess, avgdl, cfg
+    ).join(candidates, ["query_id", "doc_ord"], "left_semi")
+
+    # ---- θ-filter before the non-essential completion ----
+    # score(d) = s_ess(d) + s_ness(d) ≤ s_ess(d) + Σ_{t non-ess} tmax(t), so a
+    # candidate below θ on that bound can never reach the top-k; only the
+    # survivors pay the non-essential decode. ε pads the float comparison
+    # (scores are O(10); 1e-6 admits a few extra candidates, never drops one).
+    strong = (
+        s_ess.filter(
+            F.col("score") + F.element_at(ness_map, F.col("query_id"))
+            >= F.element_at(theta_map, F.col("query_id")) - F.lit(1e-6)
+        )
+        .select("query_id", "doc_ord")
+        .persist()
     )
-    scored = scored.join(candidates, ["query_id", "doc_ord"], "left_semi")
+
+    # ---- phase 3b: non-essential completion for the strong candidates ----
+    needed_non = (
+        strong.join(F.broadcast(ness_pairs), "query_id")
+        .join(F.broadcast(ranges_df), "term")
+        .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
+        .dropDuplicates(["term", "block_id"])
+    )
+    # a term can be essential for one query and non-essential for another — the
+    # anti-join against EVERYTHING already decoded keeps postings duplicate-free
+    # (a duplicated posting would double-count in the score fold)
+    decoded_keys = surviving.select("term", "block_id").unionByName(
+        extra_ess.select("term", "block_id")
+    )
+    non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
+        decoded_keys, ["term", "block_id"], "left_anti"
+    )
+    full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
+    scored = _score_decoded(
+        full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+    )
+    scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
 
     # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
     # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
@@ -411,7 +529,24 @@ def run_queries_wand(
     # unpersist before the caller's collect would silently recompute both decode
     # branches. The returned frame reads the checkpointed rows, lineage-free.
     result = topk(out, k).localCheckpoint(eager=True)
+    if stats_out is not None:
+        # diagnostic counts AFTER the final materialization: they reuse the
+        # still-alive caches instead of recomputing phase 2, and never sit on
+        # the timed hot path.
+        stats_out["blocks_total"] = qblocks.count()
+        stats_out["blocks_surviving"] = surviving.count()
+        stats_out["blocks_extra_decoded"] = extra_ess.count() + non_blocks.count()
+        stats_out["n_candidates"] = candidates.count()
+        stats_out["n_strong"] = strong.count()
+        stats_out["essential_terms"] = {
+            qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
+        }
+        stats_out["theta"] = dict(theta)
+        stats_out["t_theta_sec"] = round(_t_theta, 3)
+        stats_out["t_final_sec"] = round(time.monotonic() - _t0_final, 3)
     qblocks.unpersist()
     decoded.unpersist()
+    full_ess.unpersist()
     candidates.unpersist()
+    strong.unpersist()
     return result

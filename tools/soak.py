@@ -6,17 +6,23 @@ rows (a 10M-turn soak caught a genuine 1-ulp summation-order rank break that
 every small gate passed — SCALE.md "A bug only 10M rows could find"). Run this
 once per round after the scorer/WAND/merge code changes:
 
-    python tools/soak.py [n_turns]          # default 2,000,000
+    python tools/soak.py [n_turns] [json_out]   # default 2,000,000
 
 Checks (each asserts BIT-identical (rank, doc_id, score) between forced-WAND
 and the exact path — no rounding):
   1. flat corpus, materialized staged build → load → WAND == exact
   2. Zipf-skewed corpus (real pruning regime) → WAND == exact + pruning stats
   3. incremental merge (5% delta) → WAND == exact post-merge
+
+With ``json_out`` the per-check results (rows compared, pruning stats, wall
+times) are written as a JSON artifact (SOAK_r{N}.json per round — VERDICT r2
+made the soak a per-round deliverable after it caught the only real bug either
+round has seen).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -41,17 +47,33 @@ def _key(r):
     return (r["query_id"], r["rank"], r["doc_id"], r["score"])
 
 
-def _assert_identical(spark, idx, queries, label):
+def _assert_identical(spark, idx, queries, label, results: list):
+    t0 = time.monotonic()
     e = run_queries(spark, idx, queries, k=10).collect()
+    t_exact = time.monotonic() - t0
     st: dict = {}
+    t0 = time.monotonic()
     w = run_queries_wand(spark, idx, queries, k=10, force_wand=True, stats_out=st).collect()
+    t_wand = time.monotonic() - t0
     assert sorted(map(_key, w)) == sorted(map(_key, e)), f"{label}: WAND != exact (bit compare)"
     pruning = {k: v for k, v in st.items() if k in ("blocks_total", "blocks_surviving", "blocks_extra_decoded")}
     print(f"PASS {label}: WAND == exact bit-identical ({len(e)} rows); pruning {pruning}")
+    results.append(
+        {
+            "check": label,
+            "status": "PASS",
+            "rows_compared": len(e),
+            "exact_sec": round(t_exact, 2),
+            "wand_forced_sec": round(t_wand, 2),
+            "pruning": pruning,
+        }
+    )
 
 
 def main() -> int:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    results: list = []
     spark = get_spark(app_name="soak", master="local[32]", shuffle_partitions=64)
 
     # 1. flat corpus through the FULL staged/materialized path
@@ -61,13 +83,15 @@ def main() -> int:
         materialize_index(
             spark, synth_transcripts(spark, n_turns // 10, 10), mat_dir, input_path="synth:soak"
         )
-        print(f"materialized {n_turns} turns in {time.monotonic() - t0:.1f}s")
+        t_mat = time.monotonic() - t0
+        print(f"materialized {n_turns} turns in {t_mat:.1f}s")
         idx = load_materialized(spark, mat_dir)
         _assert_identical(
             spark,
             idx,
             {1: "spark shuffle partition", 2: "varbyte block compress score", 3: "the"},
             f"flat {n_turns} materialized",
+            results,
         )
     finally:
         shutil.rmtree(mat_dir, ignore_errors=True)
@@ -77,7 +101,7 @@ def main() -> int:
         synth_transcripts_skewed(spark, n_turns // 10, 10), with_ordinals=True, with_blocks=True
     )
     _assert_identical(
-        spark, skew, {1: "the", 2: "the spark checkpoint", 3: "iceberg"}, f"skewed {n_turns}"
+        spark, skew, {1: "the", 2: "the spark checkpoint", 3: "iceberg"}, f"skewed {n_turns}", results
     )
     for d in (skew.postings, skew.terms, skew.docs, skew.blocks):
         d.unpersist()
@@ -90,11 +114,25 @@ def main() -> int:
     delta = synth_transcripts(spark, hi, 10).filter(f"conv_id >= 'conv-{n_turns // 10:06d}'")
     merged = merge_delta(spark, base, delta)
     _assert_identical(
-        spark, merged, {1: "spark shuffle partition", 2: "the index"}, "post-merge"
+        spark, merged, {1: "spark shuffle partition", 2: "the index"}, "post-merge", results
     )
 
     spark.stop()
     print("SOAK: all invariants hold")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "n_turns": n_turns,
+                    "materialize_sec": round(t_mat, 1),
+                    "invariant": "forced-WAND == exact, bit-identical (rank, doc_id, score)",
+                    "checks": results,
+                    "status": "PASS",
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 0
 
 
