@@ -145,9 +145,15 @@ def main() -> None:
     for qname, queries, wk in (
         ("hot_k10", {1: "the"}, 10),
         ("tail_k1", {1: "colbert4"}, 1),
+        # MaxScore regime (r3): the rare term drives θ above tmax("the"), so
+        # "the" is non-essential and its blocks are decoded only for the
+        # θ-filtered candidates — the classic WAND sweet spot.
+        ("mixed_rare_hot_k10", {1: "iceberg3 the"}, 10),
     ):
         st: dict = {}
         run_queries_wand(spark, skewed, queries, k=wk, force_wand=True, stats_out=st).collect()
+        st.pop("essential_terms", None)
+        st.pop("theta", None)
         wand_stats[qname] = st
 
     # ---- per-query latencies (exact path, one query per plan) — mirrors the

@@ -45,6 +45,12 @@ class EngineConfig:
     # WAND stays lossless). Beyond the bound the inflation would be too loose to
     # prune anything, so blocks are fully rebuilt instead.
     merge_drift_eps: float = 0.25
+    # After this many consecutive ε-drift merges, index_snapshot_range runs
+    # compact_index automatically: every merge multiplies untouched terms'
+    # pruning bounds by ≥1, so WAND pruning weakens monotonically until a
+    # compaction re-cuts blocks under exact stats (the Lucene merge-policy
+    # analog; off the query path).
+    compact_every_merges: int = 8
 
     # --- query ---
     default_k: int = 10
@@ -55,7 +61,18 @@ class EngineConfig:
     # extra driver round-trips only pay off when pruning skips far more posting
     # decode work than the round-trips cost. At 10^12 turns any stopword query
     # clears this instantly; small/selective queries take the one-job exact plan.
-    wand_route_min_postings: int = 2_000_000
+    #
+    # CALIBRATED r3 (tools/wand_calibrate.py, WAND_CAL_r03.json, 10M-turn skewed
+    # corpus on local[32]): exact scans ~2M postings/s (4.1 s at Σdf 8.45M) and
+    # WAND's machinery is a ~10-25 s per-query CONSTANT (driver planning +
+    # broadcast-exchange round trips — corpus-size-invariant; the pruned decode
+    # itself is tiny: 443/66,226 blocks for "the"). Exact therefore won every
+    # measured point up to Σdf 36M; the r2 value (2M, a guess) would have fired
+    # WAND ~15x too early. Break-even = machinery_sec x scan_rate ≈ 12 x 2.5M
+    # ≈ 30M postings. On a real cluster both sides scale: scan rate grows with
+    # executors while the machinery constant stays flat, so at 10^12 turns a
+    # stopword query (Σdf ~10^11 ≫ threshold) correctly takes the WAND path.
+    wand_route_min_postings: int = 30_000_000
 
     def block_range_for_term(self, df: int, n_docs: int) -> int:
         """Doc-ordinal span per block so a term with document frequency ``df`` over

@@ -198,6 +198,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs → clusters: (doc_id, cluster_id) with cluster_id = the
     MINIMUM doc id in each connected component (deterministic canonical
@@ -228,7 +229,9 @@ def connected_components(
     )
     labels.count()
     changed = 0
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "lbl")
@@ -248,6 +251,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     if changed != 0:
         # A component deeper than max_iters would otherwise yield silently
         # split clusters (wrong canonical representatives downstream).

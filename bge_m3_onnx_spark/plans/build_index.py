@@ -41,6 +41,11 @@ class InvertedIndex:
     avgdl: float
     cfg: EngineConfig
     blocks: DataFrame | None = None  # compressed (set by materialize/compress step)
+    # ε-drift merges since the blocks were last cut under exact corpus stats —
+    # drives the after-K-merges auto-compaction policy (streaming/incremental.py:
+    # each kept-block merge multiplies untouched terms' pruning bounds by ≥1, so
+    # pruning weakens monotonically until a compaction resets it)
+    merges_since_compaction: int = 0
     _df_memo: dict = field(default_factory=dict, repr=False)
 
     def df_for_terms(self, term_list: list[str]) -> dict[str, int]:

@@ -24,24 +24,34 @@ fixture):
     block_max(t,b) + Σ_{t'≠t} global_max(t') bound (which prunes nothing when term
     maxima come from docs that cannot co-occur, e.g. short single-term spikes).
 
-  Phase 3 (exact rescore): decode surviving blocks → per-query candidate docs;
-    decode the (computable, tiny) set of blocks that can hold ANY posting of a
-    candidate — block_id = doc_ord // block_range(term) is a pure function — and
-    rescore candidates with full postings, then the deterministic top-k window.
+  Phase 3 (MaxScore candidates + two-stage exact rescore — r3): partition each
+    query's terms by θ: sorted by global max ascending, the maximal prefix whose
+    cumulative Σmax stays below θ is NON-ESSENTIAL (those terms alone cannot
+    lift any doc to θ — Turtle & Flood's MaxScore, set-oriented). Candidates
+    come from ESSENTIAL surviving blocks only; 3a completes candidates'
+    essential postings (covering-block decode: block_id = doc_ord //
+    block_range(term) is a pure function of stored ranges) and filters on
+    s_ess(d) + Σ_{non-ess} tmax ≥ θ; 3b decodes non-essential blocks only for
+    the filtered candidates, rescores exactly, then the deterministic top-k
+    window. For "rare_term the"-shaped queries this is the difference between
+    decoding ~all of "the" and decoding a handful of its blocks: the rare
+    term's wide ordinal tiles otherwise carry its high max into every segment.
 
-Driver/executor split: per-query scalars (term maxima, Σmax, θ) are O(|q|·terms)
-rows — they are COLLECTED to the driver and re-broadcast as literal relations, so
-the distributed plan sees only: one metadata scan with a pushed bound filter, two
-bounded decodes, one hash aggregation, one tiny window. Blocks are self-scoring
-(tf + dl stored — operators/compress.py), so no phase joins the docs table; only
-the final k·|q| rows join back for doc_id.
+Driver/executor split: per-query scalars (term maxima, Σmax, θ, essential sets)
+are O(|q|·terms) rows — they are COLLECTED to the driver (ONE fused collect, r3)
+and re-broadcast as literal relations, so the distributed plan sees only: one
+metadata scan with a pushed bound filter, bounded decodes, hash aggregations,
+one tiny window. Blocks are self-scoring (tf + dl stored — operators/compress.py),
+so no phase joins the docs table; only the final k·|q| rows join back for doc_id.
 
-Routing (r2): WAND's driver round-trips (3 jobs before the final one) only pay off
+Routing (r2, calibrated r3): WAND's driver round-trips (2 jobs) only pay off
 when pruning skips far more decode work than the round-trips cost. Σ df over the
 query terms is known on the driver after the FIRST metadata lookup; below
 ``cfg.wand_route_min_postings`` the plan delegates to the exact one-job broadcast
 path (plans/query.py), which scans those same Σ df postings outright. Stopword
 queries at 10^12 scale clear the threshold instantly and take the pruning path.
+The threshold comes from tools/wand_calibrate.py's measured exact-vs-WAND
+crossover (WAND_CAL_r03.json / SCALE.md).
 
 Phase 3 uses the ``block_range`` stored IN the block rows (not recomputed from
 current corpus stats), so blocks written under an older (N, df) — kept across an
@@ -137,22 +147,20 @@ def run_queries_wand(
         return run_queries(spark, idx, queries, k=k, cfg=cfg)
     if stats_out is not None:
         stats_out["routed"] = False
-    # Size EVERY internal shuffle from driver-known Σdf (the same cost model as
-    # the exact path's _agg_partitions): WAND's phases are metadata-sized jobs,
-    # and running their ~dozen shuffles at the session default (e.g. 64) puts
-    # hundreds of near-empty tasks on the latency path — measured ~10 s of
-    # fixed machinery cost at 100k turns before this. All actions (collects +
-    # the eager localCheckpoint) happen inside this function, so a scoped conf
-    # set/restore covers the whole plan.
-    from bge_m3_onnx_spark.plans.query import _AGG_ROWS_PER_TASK
-
+    # Size EVERY internal shuffle from driver-known Σdf: WAND's phases are
+    # metadata-sized jobs, and running their ~dozen shuffles at the session
+    # default (e.g. 64) puts hundreds of near-empty tasks on the latency path —
+    # measured ~10 s of fixed machinery cost at 100k turns before this. All
+    # actions (collects + the eager localCheckpoint) happen inside this
+    # function, so a scoped conf set/restore covers the whole plan.
     _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    # Width from Σdf/1M, not Σdf/100k: WAND's shuffles carry METADATA and
+    # PRUNED decode output, which is normally ≪ Σdf — the exact path's
+    # rows-per-task model over-parallelizes every tiny stage here (worst case,
+    # an unprunable stopword batch, still gets ~1M decoded postings per task).
     _need = max(
         1,
-        min(
-            int(_old_sp),
-            (sum(r["df"] for r in qt_rows) + _AGG_ROWS_PER_TASK - 1) // _AGG_ROWS_PER_TASK,
-        ),
+        min(int(_old_sp), sum(r["df"] for r in qt_rows) // 1_000_000),
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(_need))
     try:
@@ -213,6 +221,18 @@ def _run_queries_wand_forced(
     # Python/Arrow round-trips dominated the machinery cost (measured).
     _width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).coalesce(_width).persist()
+    # Slim metadata twin of qblocks (no varbyte buffer columns): the phase-1/2
+    # machinery makes ~a dozen metadata passes (windows, bounds, surviving
+    # keys, broadcast subtrees), and each pass over the buffer-carrying cache
+    # paid for deserializing MBs of block payloads to read 4 scalar columns —
+    # the event-log profile showed ~25 broadcast subjobs at 0.3-1.2 s each
+    # doing exactly that. Decode steps still read qblocks (they need buffers).
+    qmeta = (
+        idx.blocks.filter(F.col("term").isin(qterms_list))
+        .select("term", "block_id", "block_range", "block_max_score")
+        .coalesce(_width)
+        .persist()
+    )
 
     # Seeds must plausibly contain k strong docs per query or θ collapses to a
     # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
@@ -234,7 +254,7 @@ def _run_queries_wand_forced(
     )
     w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
     seed_sel = (
-        qblocks.select("term", "block_id", "block_range", "block_max_score")
+        qmeta
         .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
         .withColumn("rk1", F.row_number().over(w_pre))
         .filter(F.col("rk1") <= n_seed)
@@ -322,6 +342,7 @@ def _run_queries_wand_forced(
     # join, no window, safe for stopword terms with millions of blocks.
     if not tmax:  # no query term has any block → empty result
         qblocks.unpersist()
+        qmeta.unpersist()
         return spark.createDataFrame(
             [],
             "query_id int, rank int, doc_id string, score double",
@@ -337,7 +358,7 @@ def _run_queries_wand_forced(
             for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
         ]
     )
-    block_meta = qblocks.select(
+    block_meta = qmeta.select(
         "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
     )
     # distinct segment boundaries per query (starts of any query term's blocks),
@@ -499,26 +520,39 @@ def _run_queries_wand_forced(
     )
 
     # ---- phase 3b: non-essential completion for the strong candidates ----
-    needed_non = (
-        strong.join(F.broadcast(ness_pairs), "query_id")
-        .join(F.broadcast(ranges_df), "term")
-        .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
-        .dropDuplicates(["term", "block_id"])
-    )
-    # a term can be essential for one query and non-essential for another — the
-    # anti-join against EVERYTHING already decoded keeps postings duplicate-free
-    # (a duplicated posting would double-count in the score fold)
-    decoded_keys = surviving.select("term", "block_id").unionByName(
-        extra_ess.select("term", "block_id")
-    )
-    non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
-        decoded_keys, ["term", "block_id"], "left_anti"
-    )
-    full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
-    scored = _score_decoded(
-        full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
-    )
-    scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
+    # Skipped entirely when no query has a non-essential term (the common
+    # WAND-routed shape — stopword-heavy queries where every term is
+    # essential): the 3b subplan otherwise adds ~6 broadcast-exchange subjobs
+    # and real Catalyst planning time for provably-empty relations, and
+    # s_ess over the essential completion IS the full exact score.
+    non_blocks = None
+    if ness_pairs_rows:
+        needed_non = (
+            strong.join(F.broadcast(ness_pairs), "query_id")
+            .join(F.broadcast(ranges_df), "term")
+            .select(
+                "term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id")
+            )
+            .dropDuplicates(["term", "block_id"])
+        )
+        # a term can be essential for one query and non-essential for another —
+        # the anti-join against EVERYTHING already decoded keeps postings
+        # duplicate-free (a duplicated posting would double-count in the fold)
+        decoded_keys = surviving.select("term", "block_id").unionByName(
+            extra_ess.select("term", "block_id")
+        )
+        non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
+            decoded_keys, ["term", "block_id"], "left_anti"
+        )
+        full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
+        scored = _score_decoded(
+            full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+        )
+        scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
+    else:
+        # every term essential → s_ess is already the exact full score for
+        # every candidate; the θ-filter (strong) bounds the final window input
+        scored = s_ess.join(strong, ["query_id", "doc_ord"], "left_semi")
 
     # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
     # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
@@ -533,9 +567,11 @@ def _run_queries_wand_forced(
         # diagnostic counts AFTER the final materialization: they reuse the
         # still-alive caches instead of recomputing phase 2, and never sit on
         # the timed hot path.
-        stats_out["blocks_total"] = qblocks.count()
+        stats_out["blocks_total"] = qmeta.count()
         stats_out["blocks_surviving"] = surviving.count()
-        stats_out["blocks_extra_decoded"] = extra_ess.count() + non_blocks.count()
+        stats_out["blocks_extra_decoded"] = extra_ess.count() + (
+            non_blocks.count() if non_blocks is not None else 0
+        )
         stats_out["n_candidates"] = candidates.count()
         stats_out["n_strong"] = strong.count()
         stats_out["essential_terms"] = {
@@ -545,6 +581,7 @@ def _run_queries_wand_forced(
         stats_out["t_theta_sec"] = round(_t_theta, 3)
         stats_out["t_final_sec"] = round(time.monotonic() - _t0_final, 3)
     qblocks.unpersist()
+    qmeta.unpersist()
     decoded.unpersist()
     full_ess.unpersist()
     candidates.unpersist()

@@ -99,9 +99,11 @@ def merge_delta(
     row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
-    blocks = None
+    blocks, kept_bounds = None, False
     if idx.blocks is not None and has_ord:
-        blocks = _merge_blocks(idx, delta_postings, postings, terms, n_docs, avgdl, cfg)
+        blocks, kept_bounds = _merge_blocks(
+            idx, delta_postings, postings, terms, n_docs, avgdl, cfg
+        )
 
     return InvertedIndex(
         postings=postings,
@@ -111,6 +113,8 @@ def merge_delta(
         avgdl=avgdl,
         cfg=cfg,
         blocks=blocks,
+        # a full re-cut (drift fallback / no blocks) resets the inflation clock
+        merges_since_compaction=(idx.merges_since_compaction + 1) if kept_bounds else 0,
     )
 
 
@@ -122,17 +126,19 @@ def _merge_blocks(
     n_docs: int,
     avgdl: float,
     cfg: EngineConfig,
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Delta-term rebuild + inflated-bound keep for untouched terms (module doc).
 
-    Returns the merged blocks relation. Falls back to a full rebuild when corpus
-    drift exceeds cfg.merge_drift_eps (bound tightness, not correctness)."""
+    Returns (merged blocks relation, kept_inflated_bounds). Falls back to a full
+    rebuild when corpus drift exceeds cfg.merge_drift_eps (bound tightness, not
+    correctness) — that path returns kept_inflated_bounds=False so the caller's
+    compaction clock resets."""
     n_old, avgdl_old = idx.n_docs, float(idx.avgdl)
     if n_old <= 0 or avgdl_old <= 0.0:
-        return build_blocks(postings, terms, n_docs, avgdl, cfg)
+        return build_blocks(postings, terms, n_docs, avgdl, cfg), False
     drift = max(n_docs / n_old - 1.0, abs(avgdl - avgdl_old) / avgdl_old)
     if drift > cfg.merge_drift_eps:
-        return build_blocks(postings, terms, n_docs, avgdl, cfg)
+        return build_blocks(postings, terms, n_docs, avgdl, cfg), False
 
     delta_terms = delta_postings.select("term").distinct()
     # exact re-cut for terms whose df (→ block_range) changed; at scale the term
@@ -158,7 +164,7 @@ def _merge_blocks(
         .withColumn("block_max_score", F.col("block_max_score") * inflation)
         .select(*[f.name for f in rebuilt.schema.fields])
     )
-    return rebuilt.unionByName(kept)
+    return rebuilt.unionByName(kept), True
 
 
 def index_snapshot_range(
@@ -169,13 +175,24 @@ def index_snapshot_range(
     to_inclusive: int,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> InvertedIndex:
-    """Advance the index across a snapshot range — the checkpointed unit of work."""
+    """Advance the index across a snapshot range — the checkpointed unit of work.
+
+    Compaction policy: after ``cfg.compact_every_merges`` consecutive ε-drift
+    merges the accumulated bound inflation is reset by an automatic
+    ``compact_index`` (the Lucene merge-policy analog — correctness never needs
+    it, WAND pruning tightness does)."""
     delta = table.read_incremental(from_exclusive, to_inclusive)
     if idx is None:
         from bge_m3_onnx_spark.plans.build_index import build_index
 
-        return build_index(delta, cfg, with_ordinals=True)
-    return merge_delta(spark, idx, delta, cfg)
+        # with_blocks: this is the serving build path — the north rule's query
+        # side is block-max WAND, and the merge/compaction policy below only
+        # has meaning over compressed blocks.
+        return build_index(delta, cfg, with_ordinals=True, with_blocks=True)
+    merged = merge_delta(spark, idx, delta, cfg)
+    if merged.blocks is not None and merged.merges_since_compaction >= cfg.compact_every_merges:
+        merged = compact_index(merged, cfg)
+    return merged
 
 
 def stream_build(
@@ -224,4 +241,5 @@ def compact_index(idx: InvertedIndex, cfg: EngineConfig | None = None) -> Invert
         avgdl=idx.avgdl,
         cfg=cfg,
         blocks=blocks,
+        merges_since_compaction=0,
     )

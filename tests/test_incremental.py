@@ -187,3 +187,48 @@ def test_compaction_tightens_bounds_and_stays_lossless(spark):
     wand = run_queries_wand(spark, compacted, q, k=5, force_wand=True).collect()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
     assert sorted(map(key, wand)) == sorted(map(key, exact))
+
+
+def test_auto_compaction_after_k_merges(spark, tmp_path):
+    """index_snapshot_range triggers compact_index automatically after
+    cfg.compact_every_merges consecutive ε-drift merges: the merge counter
+    resets, the accumulated bound inflation drops back to the exact re-cut
+    values, and results stay identical to a full rebuild."""
+    import dataclasses
+
+    import pyspark.sql.functions as F
+
+    from bge_m3_onnx_spark.config import DEFAULT_CONFIG
+    from bge_m3_onnx_spark.streaming.incremental import compact_index
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, compact_every_merges=2)
+    t = SnapshotTable(spark, str(tmp_path / "tbl3"))
+    base = synth_transcripts(spark, n_convs=200, turns_per_conv=5)
+    snaps = [t.append(base)]
+    # three tiny deltas (well under merge_drift_eps → kept-block merges)
+    for i in range(3):
+        lo, hi = 200 + i * 4, 200 + (i + 1) * 4
+        d = synth_transcripts(spark, n_convs=hi, turns_per_conv=5).filter(
+            f"conv_id >= 'conv-{lo:06d}'"
+        )
+        snaps.append(t.append(d))
+
+    idx = index_snapshot_range(spark, t, None, None, snaps[0], cfg)
+    idx = index_snapshot_range(spark, t, idx, snaps[0], snaps[1], cfg)
+    assert idx.merges_since_compaction == 1  # merge #1: kept bounds, no compaction
+    idx = index_snapshot_range(spark, t, idx, snaps[1], snaps[2], cfg)
+    assert idx.merges_since_compaction == 0  # merge #2 hit the policy → compacted
+    # bounds equal an explicit compaction of the same logical index (re-cut
+    # under exact stats — no residual inflation anywhere)
+    explicit = compact_index(idx, cfg)
+    s_auto = idx.blocks.agg(F.sum("block_max_score")).collect()[0][0]
+    s_explicit = explicit.blocks.agg(F.sum("block_max_score")).collect()[0][0]
+    assert abs(s_auto - s_explicit) < 1e-9
+    idx = index_snapshot_range(spark, t, idx, snaps[2], snaps[3], cfg)
+    assert idx.merges_since_compaction == 1  # clock restarted
+
+    full = build_index(t.read(snaps[3]))
+    queries = {1: "spark shuffle", 2: "the merge"}
+    assert _topk_map(run_queries(spark, idx, queries, k=10)) == _topk_map(
+        run_queries(spark, full, queries, k=10)
+    )

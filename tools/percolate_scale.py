@@ -1,0 +1,102 @@
+"""Percolation at volume — 10^5 saved queries × soak-sized doc stream.
+
+VERDICT r2 #9: the streaming percolation alerting is tested at fixture size;
+this proves the shape holds at volume: the saved-query relation (10^5 queries,
+~3 terms each → ~3·10^5 broadcast rows) stays a broadcast, the probe side
+streams through one tokenize + distinct pass, and the per-(doc, query) count
+is one partial+final hash agg — wall time and match volume are recorded for
+SCALE.md.
+
+    python tools/percolate_scale.py [n_docs] [n_queries] [json_out]
+    # defaults 1,000,000 docs x 100,000 saved queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bge_m3_onnx_spark.config import DEFAULT_CONFIG  # noqa: E402
+from bge_m3_onnx_spark.operators.percolate import percolate  # noqa: E402
+from bge_m3_onnx_spark.operators.postings import tokenized_docs  # noqa: E402
+from bge_m3_onnx_spark.session import get_spark  # noqa: E402
+from bge_m3_onnx_spark.sources.transcripts import (  # noqa: E402
+    _HOT_TERMS,
+    _TAIL_TERMS,
+    synth_transcripts_skewed,
+)
+
+
+def synth_saved_queries(n_queries: int) -> list[tuple[int, str, int]]:
+    """(query_id, term, n_terms) rows for n_queries deterministic conjunctive
+    queries over the skewed corpus vocabulary (tail terms carry 0-15 digit
+    suffixes there). ~3 terms per query."""
+    vocab = [t + str(s) for t in _TAIL_TERMS for s in range(16)] + _HOT_TERMS
+    rows = []
+    for qid in range(n_queries):
+        n_terms = 2 + (qid % 3)
+        terms = sorted({vocab[(qid * 7 + i * 131) % len(vocab)] for i in range(n_terms)})
+        rows.extend((qid, t, len(terms)) for t in terms)
+    return rows
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    spark = get_spark(app_name="percolate-scale", master="local[32]", shuffle_partitions=64)
+
+    t0 = time.monotonic()
+    saved_rows = synth_saved_queries(n_queries)
+    saved = spark.createDataFrame(saved_rows, "query_id int, term string, n_terms int")
+    t_saved = time.monotonic() - t0
+
+    tr = synth_transcripts_skewed(spark, n_docs // 10, 10)
+    docs = tr.select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"), "text"
+    )
+    toks = tokenized_docs(docs, DEFAULT_CONFIG).select(
+        "doc_id", F.explode("terms").alias("term")
+    )
+
+    t0 = time.monotonic()
+    matches = percolate(toks, saved, conjunctive=True)
+    n_matches = matches.count()
+    t_perc = time.monotonic() - t0
+
+    # alert fan-in shape: distinct alerted queries + per-query doc counts
+    t0 = time.monotonic()
+    per_q = matches.groupBy("query_id").agg(F.count("*").alias("n_docs"))
+    n_alerted = per_q.count()
+    top = [r.asDict() for r in per_q.orderBy(F.desc("n_docs"), F.asc("query_id")).limit(3).collect()]
+    t_agg = time.monotonic() - t0
+
+    out = {
+        "n_docs": n_docs,
+        "n_saved_queries": n_queries,
+        "saved_rows_broadcast": len(saved_rows),
+        "build_saved_sec": round(t_saved, 1),
+        "percolate_sec": round(t_perc, 1),
+        "agg_sec": round(t_agg, 1),
+        "matches": n_matches,
+        "alerted_queries": n_alerted,
+        "top_queries": top,
+        "docs_per_sec": round(n_docs / t_perc, 1),
+        "status": "PASS",
+    }
+    print(json.dumps(out))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
