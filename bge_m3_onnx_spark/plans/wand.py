@@ -204,10 +204,8 @@ def _run_queries_wand_forced(
     # idf as the SAME Spark-side expression the exact path uses (idf_col):
     # java.lang.Math.log and Python math.log can disagree at the last ulp, and
     # WAND's rank-identity with the exact plan must not depend on libm flavor.
-    # coalesce(1): parallelized local rows default to defaultParallelism (e.g.
-    # 32) partitions, and every broadcast of this tiny relation would otherwise
-    # run a 32-near-empty-task subjob — ~4 broadcasts per query on the fixed-
-    # cost path.
+    # (Measured anti-optimization note: coalesce(1) on these parallelized tiny
+    # relations REGRESSED the machinery 3x — leave them at default slices.)
     qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema).withColumn(
         "idf", idf_col(F.col("df").cast("double"), n)
     )

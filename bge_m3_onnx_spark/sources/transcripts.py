@@ -110,7 +110,12 @@ def synth_transcripts(
     tools = F.array(*[F.lit(t) for t in _TOOLS])
     role = F.element_at(roles, (turn % 3 + 1).cast("int"))
     return df.select(
-        F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 6, "0")).alias("conv_id"),
+        # format_string, NOT lpad: Spark lpad TRUNCATES to the target length, so at
+        # >10^6 convs ten 7-digit convs collapsed onto one 6-digit conv_id —
+        # 11 distinct texts sharing a docID (caught by the r3 10M post-merge
+        # soak as WAND != exact). %06d pads identically and never truncates,
+        # so every fixture below 10^6 convs stays byte-stable.
+        F.format_string("conv-%06d", conv).alias("conv_id"),
         turn.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
@@ -184,7 +189,12 @@ def synth_transcripts_skewed(
     roles = F.array(*[F.lit(r) for r in _ROLES])
     role = F.element_at(roles, (turn % 3 + 1).cast("int"))
     return df.select(
-        F.concat(F.lit("conv-"), F.lpad(conv.cast("string"), 6, "0")).alias("conv_id"),
+        # format_string, NOT lpad: Spark lpad TRUNCATES to the target length, so at
+        # >10^6 convs ten 7-digit convs collapsed onto one 6-digit conv_id —
+        # 11 distinct texts sharing a docID (caught by the r3 10M post-merge
+        # soak as WAND != exact). %06d pads identically and never truncates,
+        # so every fixture below 10^6 convs stays byte-stable.
+        F.format_string("conv-%06d", conv).alias("conv_id"),
         turn.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
