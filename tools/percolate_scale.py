@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG  # noqa: E402
+from bge_m3_onnx_spark.functions.tokenizer import tokenize_udf  # noqa: E402
 from bge_m3_onnx_spark.operators.percolate import percolate  # noqa: E402
-from bge_m3_onnx_spark.operators.postings import tokenized_docs  # noqa: E402
 from bge_m3_onnx_spark.session import get_spark  # noqa: E402
 from bge_m3_onnx_spark.sources.transcripts import (  # noqa: E402
     _HOT_TERMS,
@@ -61,7 +61,8 @@ def main() -> int:
     docs = tr.select(
         F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"), "text"
     )
-    toks = tokenized_docs(docs, DEFAULT_CONFIG).select(
+    tok_udf = tokenize_udf(DEFAULT_CONFIG.max_tokens, DEFAULT_CONFIG.special_terms)
+    toks = docs.select("doc_id", tok_udf(F.col("text")).alias("terms")).select(
         "doc_id", F.explode("terms").alias("term")
     )
 
