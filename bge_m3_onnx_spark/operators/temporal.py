@@ -49,16 +49,21 @@ def asof_join(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     lcols = left.columns
-    r_tie = (
-        F.col(tiebreak).cast("long")
-        if tiebreak is not None
-        else F.xxhash64(*[F.col(c) for c in [*right_cols, right_ts]])
-    )
+    # Order by the tiebreak column in its OWN type: casting to long would turn
+    # a string id into all-NULLs and silently reinstate arrival-order
+    # nondeterminism (ADVICE r3). The union's left-side NULL literal takes the
+    # same type so both branches agree.
+    if tiebreak is not None:
+        r_tie = F.col(tiebreak)
+        tie_type = right.schema[tiebreak].dataType
+    else:
+        r_tie = F.xxhash64(*[F.col(c) for c in [*right_cols, right_ts]])
+        tie_type = "long"
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tie"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{prefix}{right_ts}"),
     )

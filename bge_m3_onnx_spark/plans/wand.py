@@ -158,9 +158,15 @@ def run_queries_wand(
     # PRUNED decode output, which is normally ≪ Σdf — the exact path's
     # rows-per-task model over-parallelizes every tiny stage here (worst case,
     # an unprunable stopword batch, still gets ~1M decoded postings per task).
+    try:
+        _cap = int(_old_sp)
+    except (TypeError, ValueError):
+        # AQE-managed runtimes may set this to a non-numeric value ("auto");
+        # fall back to the cluster's physical width (ADVICE r3).
+        _cap = spark.sparkContext.defaultParallelism
     _need = max(
         1,
-        min(int(_old_sp), sum(r["df"] for r in qt_rows) // 1_000_000),
+        min(_cap, sum(r["df"] for r in qt_rows) // 1_000_000),
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(_need))
     try:
@@ -218,370 +224,395 @@ def _run_queries_wand_forced(
     # many near-empty tasks — with 4 mapInPandas decodes per query the per-task
     # Python/Arrow round-trips dominated the machinery cost (measured).
     _width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).coalesce(_width).persist()
-    # Slim metadata twin of qblocks (no varbyte buffer columns): the phase-1/2
-    # machinery makes ~a dozen metadata passes (windows, bounds, surviving
-    # keys, broadcast subtrees), and each pass over the buffer-carrying cache
-    # paid for deserializing MBs of block payloads to read 4 scalar columns —
-    # the event-log profile showed ~25 broadcast subjobs at 0.3-1.2 s each
-    # doing exactly that. Decode steps still read qblocks (they need buffers).
-    qmeta = (
-        idx.blocks.filter(F.col("term").isin(qterms_list))
-        .select("term", "block_id", "block_range", "block_max_score")
-        .coalesce(_width)
-        .persist()
-    )
+    # Every persisted frame is registered so an exception anywhere in the
+    # phases below cannot leak cached partitions (ADVICE r3); unpersist is
+    # idempotent, so the early-exit branches' explicit unpersists are fine.
+    _persisted: list[DataFrame] = []
+    try:
+        qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).coalesce(_width).persist()
+        _persisted.append(qblocks)
+        # Slim metadata twin of qblocks (no varbyte buffer columns): the phase-1/2
+        # machinery makes ~a dozen metadata passes (windows, bounds, surviving
+        # keys, broadcast subtrees), and each pass over the buffer-carrying cache
+        # paid for deserializing MBs of block payloads to read 4 scalar columns —
+        # the event-log profile showed ~25 broadcast subjobs at 0.3-1.2 s each
+        # doing exactly that. Decode steps still read qblocks (they need buffers).
+        qmeta = (
+            idx.blocks.filter(F.col("term").isin(qterms_list))
+            .select("term", "block_id", "block_range", "block_max_score")
+            .coalesce(_width)
+            .persist()
+        )
+        _persisted.append(qmeta)
 
-    # Seeds must plausibly contain k strong docs per query or θ collapses to a
-    # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
-    # decode at least k seed blocks per term (≥1 doc each, typically ~block_size).
-    n_seed = max(cfg.wand_seed_blocks, k)
-    # ---- phase 1 (fused into ONE driver round-trip — r2 measured ~9 s of fixed
-    # machinery cost, much of it driver job latency): seed selection stays
-    # DISTRIBUTED (no metadata collect); the only collect is the θ job below,
-    # which carries the per-term metadata (global max, block_range) along as
-    # tagged rows in the same result.
-    # rk=1 row doubles as the per-term global max AND carries the stored
-    # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
-    # Two-phase (salted) top-S: a 10^12-scale stopword term has millions of
-    # block-metadata rows, and a plain partitionBy(term) window would funnel
-    # them through ONE task. Phase A takes top-S per (term, salt) — 32-way
-    # parallel per term; phase B re-ranks the ≤ 32·S survivors per term.
-    w_pre = Window.partitionBy("term", "__salt").orderBy(
-        F.desc("block_max_score"), F.asc("block_id")
-    )
-    w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
-    seed_sel = (
-        qmeta
-        .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
-        .withColumn("rk1", F.row_number().over(w_pre))
-        .filter(F.col("rk1") <= n_seed)
-        .withColumn("rk", F.row_number().over(w_seed))
-        .filter(F.col("rk") <= n_seed)
-        .select("term", "block_id", "block_range", "block_max_score", "rk")
-        .persist()
-    )
-    ranges_sel = seed_sel.filter(F.col("rk") == 1).select(
-        "term",
-        F.col("block_range").cast("long").alias("rng"),
-        F.col("block_max_score").alias("tmax"),
-    )
-
-    # ---- θ from seed candidates, EXACT-rescored ----
-    # Partial seed sums pick the candidates; their covering blocks (pure function
-    # of the stored ranges, ≤ k·|q|·|terms| blocks) are decoded and the candidates
-    # scored exactly. θ = k-th best exact score — a lower bound of the true k-th
-    # (k-doc-subset argument) that is dramatically tighter than the r1 partial θ.
-    seed_blocks = qblocks.join(
-        F.broadcast(seed_sel.select("term", "block_id")), ["term", "block_id"], "left_semi"
-    ).select(*_BLOCK_COLS)
-    seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
-    w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
-    seed_top = (
-        seed_scores.withColumn("rk", F.row_number().over(w_theta))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "doc_ord")
-    )
-    seed_needed = (
-        seed_top.join(F.broadcast(qt_stats.select("query_id", "term")), "query_id")
-        .join(F.broadcast(ranges_sel.select("term", "rng")), "term")
-        .select(
+        # Seeds must plausibly contain k strong docs per query or θ collapses to a
+        # mid-pack score: the top-k docs concentrate in the top block-max blocks, so
+        # decode at least k seed blocks per term (≥1 doc each, typically ~block_size).
+        n_seed = max(cfg.wand_seed_blocks, k)
+        # ---- phase 1 (fused into ONE driver round-trip — r2 measured ~9 s of fixed
+        # machinery cost, much of it driver job latency): seed selection stays
+        # DISTRIBUTED (no metadata collect); the only collect is the θ job below,
+        # which carries the per-term metadata (global max, block_range) along as
+        # tagged rows in the same result.
+        # rk=1 row doubles as the per-term global max AND carries the stored
+        # block_range (constant within a term) — one pass gives seeds, tmax, ranges.
+        # Two-phase (salted) top-S: a 10^12-scale stopword term has millions of
+        # block-metadata rows, and a plain partitionBy(term) window would funnel
+        # them through ONE task. Phase A takes top-S per (term, salt) — 32-way
+        # parallel per term; phase B re-ranks the ≤ 32·S survivors per term.
+        w_pre = Window.partitionBy("term", "__salt").orderBy(
+            F.desc("block_max_score"), F.asc("block_id")
+        )
+        w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
+        seed_sel = (
+            qmeta
+            .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
+            .withColumn("rk1", F.row_number().over(w_pre))
+            .filter(F.col("rk1") <= n_seed)
+            .withColumn("rk", F.row_number().over(w_seed))
+            .filter(F.col("rk") <= n_seed)
+            .select("term", "block_id", "block_range", "block_max_score", "rk")
+            .persist()
+        )
+        _persisted.append(seed_sel)
+        ranges_sel = seed_sel.filter(F.col("rk") == 1).select(
             "term",
-            F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"),
+            F.col("block_range").cast("long").alias("rng"),
+            F.col("block_max_score").alias("tmax"),
         )
-        .dropDuplicates(["term", "block_id"])
-    )
-    seed_cover = qblocks.join(seed_needed, ["term", "block_id"], "left_semi")
-    seed_exact = _score_decoded(decode_blocks(seed_cover.select(*_BLOCK_COLS)), qt_stats, avgdl, cfg).join(
-        seed_top, ["query_id", "doc_ord"], "left_semi"
-    )
-    # ONE collect for θ AND the per-term metadata (tagged union) — the scalars
-    # phases 2-3 need on the driver to build literal map expressions.
-    theta_rows = (
-        seed_exact.withColumn("rk", F.row_number().over(w_theta))
-        .filter(F.col("rk") == k)
-        .select(
-            F.lit("theta").alias("tag"),
-            F.col("query_id").cast("long").alias("qid"),
-            F.lit(None).cast("string").alias("term"),
-            F.col("score").alias("v1"),
-            F.lit(None).cast("long").alias("v2"),
-        )
-    )
-    meta_rows = ranges_sel.select(
-        F.lit("meta").alias("tag"),
-        F.lit(None).cast("long").alias("qid"),
-        "term",
-        F.col("tmax").alias("v1"),
-        F.col("rng").alias("v2"),
-    )
-    _t0_theta = time.monotonic()
-    collected = theta_rows.unionByName(meta_rows).collect()
-    _t_theta = time.monotonic() - _t0_theta
-    _t0_final = time.monotonic()
-    seed_sel.unpersist()
-    theta = {int(r["qid"]): r["v1"] for r in collected if r["tag"] == "theta"}
-    tmax = {r["term"]: r["v1"] for r in collected if r["tag"] == "meta"}
-    range_by_term = {r["term"]: int(r["v2"]) for r in collected if r["tag"] == "meta"}
 
-    # ---- phase 2: ordinal-aligned segment pruning (exact, lossless) ----
-    # Every term's blocks TILE the doc-ordinal axis (block_id = ord // range), so
-    # the tightest metadata upper bound at ordinal x is
-    #     s_q(x) = Σ_{t ∈ q} block_max(t, x // range_t)
-    # — piecewise constant, changing only at block starts. A block of t survives
-    # for q iff some segment it overlaps has s_q ≥ θ_q. This strictly dominates
-    # the classic  block_max(t,b) + Σ_{t'≠t} global_max(t')  bound (which prunes
-    # NOTHING when per-term maxima come from short spike docs that cannot
-    # co-occur: global maxima sum to far above any real doc's score).
-    # Safety: score(d) ≤ s_q(ord(d)) for every doc d, so any top-k doc's segment
-    # clears θ and every block containing d overlaps that segment.
-    # All joins below are EQUI-joins on metadata relations (O(Σ blocks · |q|)):
-    # boundaries → active block per (boundary, term) via x // range — no range
-    # join, no window, safe for stopword terms with millions of blocks.
-    if not tmax:  # no query term has any block → empty result
-        qblocks.unpersist()
-        qmeta.unpersist()
-        return spark.createDataFrame(
-            [],
-            "query_id int, rank int, doc_id string, score double",
+        # ---- θ from seed candidates, EXACT-rescored ----
+        # Partial seed sums pick the candidates; their covering blocks (pure function
+        # of the stored ranges, ≤ k·|q|·|terms| blocks) are decoded and the candidates
+        # scored exactly. θ = k-th best exact score — a lower bound of the true k-th
+        # (k-doc-subset argument) that is dramatically tighter than the r1 partial θ.
+        seed_blocks = qblocks.join(
+            F.broadcast(seed_sel.select("term", "block_id")), ["term", "block_id"], "left_semi"
+        ).select(*_BLOCK_COLS)
+        seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
+        w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
+        seed_top = (
+            seed_scores.withColumn("rk", F.row_number().over(w_theta))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "doc_ord")
         )
-    qt_pairs = qt_stats.select("query_id", "term")
-    range_map = F.create_map(
-        *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
-    )
-    theta_map = F.create_map(
-        *[
-            x
-            for qid in sorted({q for q, _, _ in qt_stats_rows})
-            for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
-        ]
-    )
-    block_meta = qmeta.select(
-        "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
-    )
-    # distinct segment boundaries per query (starts of any query term's blocks),
-    # PRE-FILTERED by the classic bound before the ×|q| fan-out (r2 advisor: a
-    # stopword term contributes millions of boundaries, and expanding every one
-    # against every query term made the metadata job O(|boundaries|·|q|)).
-    # For a boundary x contributed by term t:
-    #     s_q(x) ≤ block_max(t, x) + Σ_{t'≠t} global_max(t')   (classic bound)
-    # so s_q(x) ≥ θ implies EVERY contributing term's classic bound clears θ —
-    # filtering on min(classic) ≥ θ is lossless and removes the fan-out for
-    # segments only a weak stopword block opened.
-    tmax_map = F.create_map(
-        *[x for t, m in sorted(tmax.items()) for x in (F.lit(t), F.lit(float(m)))]
-    )
-    qsum = {
-        qid: sum(tmax.get(t, 0.0) for q2, t, _ in qt_stats_rows if q2 == qid)
-        for qid in sorted({q for q, _, _ in qt_stats_rows})
-    }
-    qsum_map = F.create_map(
-        *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
-    )
-    bounds = (
-        block_meta.select("term", "x", "block_max_score")
-        .join(F.broadcast(qt_pairs), "term")
-        .groupBy("query_id", "x")
-        .agg(
-            F.min(
-                F.col("block_max_score")
-                + F.element_at(qsum_map, F.col("query_id"))
-                - F.element_at(tmax_map, F.col("term"))
-            ).alias("classic_bound")
-        )
-        .filter(F.col("classic_bound") >= F.element_at(theta_map, F.col("query_id")))
-        .select("query_id", "x")
-    )
-    # active block of EVERY query term at each boundary; inner join drops terms
-    # with no block there (they contribute 0 to the sum — correct)
-    active = (
-        bounds.join(F.broadcast(qt_pairs), "query_id")
-        .select(
-            "query_id",
-            "x",
-            "term",
-            F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
-            .cast("long")
-            .alias("block_id"),
-        )
-        .join(block_meta.select("term", "block_id", "block_max_score"), ["term", "block_id"])
-    )
-    surviving_x = (
-        active.groupBy("query_id", "x")
-        .agg(F.sum("block_max_score").alias("s"))
-        .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
-    )
-    # ---- MaxScore essential-term partition (driver-side, from θ + tmax) ----
-    # Sort each query's terms by global max ascending; the maximal prefix whose
-    # cumulative Σtmax stays BELOW θ is NON-ESSENTIAL: those terms alone cannot
-    # lift any doc to θ, so every top-k doc contains ≥1 essential term.
-    # Candidates therefore come from ESSENTIAL surviving blocks only, and
-    # non-essential terms are decoded later, only for candidates that can still
-    # clear θ. This is what makes mixed rare+hot queries cheap: for
-    # "rare_term the", θ (driven by the rare term's idf) exceeds tmax("the"),
-    # so "the" is non-essential and its millions of postings are decoded only
-    # for the handful of rare-term candidates within reach of θ — the
-    # ordinal-tiled segment bound alone cannot do this, because the rare term's
-    # wide tiles carry its high max into every segment (measured: 618/682
-    # blocks survived for "iceberg3 the"; with MaxScore only the rare term's
-    # blocks are candidate sources).
-    qids = sorted({q for q, _, _ in qt_stats_rows})
-    ess_pairs_rows: list[tuple[int, str]] = []
-    ness_pairs_rows: list[tuple[int, str]] = []
-    ness_sum: dict[int, float] = {}
-    for qid in qids:
-        tq = sorted((tmax.get(t, 0.0), t) for q2, t, _ in qt_stats_rows if q2 == qid and t in tmax)
-        th = theta.get(qid, float("-inf"))
-        cum, n_ness = 0.0, 0
-        for m, t in tq:
-            if cum + m < th:
-                cum += m
-                n_ness += 1
-            else:
-                break
-        ness_sum[qid] = cum
-        ness_pairs_rows += [(qid, t) for _, t in tq[:n_ness]]
-        ess_pairs_rows += [(qid, t) for _, t in tq[n_ness:]]
-    pair_schema = StructType(
-        [StructField("query_id", IntegerType(), False), StructField("term", StringType(), False)]
-    )
-    ess_pairs = spark.createDataFrame(ess_pairs_rows, pair_schema)
-    ness_pairs = spark.createDataFrame(ness_pairs_rows, pair_schema)
-    ness_map = F.create_map(
-        *[x for qid in qids for x in (F.lit(int(qid)), F.lit(float(ness_sum[qid])))]
-    )
-
-    # back to block keys: the boundary x lies in block x // range_t of each
-    # ESSENTIAL term (candidate sources; non-essential blocks are never
-    # candidate sources — see the MaxScore argument above)
-    surviving_keys = (
-        surviving_x.join(F.broadcast(ess_pairs), "query_id")
-        .select(
-            "term",
-            F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
-            .cast("long")
-            .alias("block_id"),
-        )
-        .dropDuplicates(["term", "block_id"])
-    )
-    surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
-
-    # ---- phase 3a: candidates + exact ESSENTIAL score ----
-    # decoded is persisted: it feeds the candidate derivation AND is REUSED as
-    # the bulk of the essential-rescore input — only the needed-but-not-
-    # surviving remainder is decoded on top.
-    decoded = decode_blocks(surviving.select(*_BLOCK_COLS)).persist()
-    # per-query candidates: docs in any surviving block of a term ESSENTIAL to
-    # that query. Lazily persisted (no eager count — VERDICT r1).
-    candidates = (
-        decoded.join(F.broadcast(ess_pairs), "term")
-        .select("query_id", "doc_ord")
-        .dropDuplicates(["query_id", "doc_ord"])
-        .persist()
-    )
-    # blocks that can hold any posting of a candidate: block_id = ord // range with
-    # the range STORED in the blocks themselves (collected at rk=1 above) — valid
-    # even for blocks kept across incremental merges under older corpus stats.
-    ranges_df = spark.createDataFrame(
-        [(t, int(r)) for t, r in sorted(range_by_term.items())],
-        StructType(
-            [StructField("term", StringType(), False), StructField("rng", LongType(), False)]
-        ),
-    )
-    needed_ess = (
-        candidates.join(F.broadcast(ess_pairs), "query_id")
-        .join(F.broadcast(ranges_df), "term")
-        .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
-        .dropDuplicates(["term", "block_id"])
-    )
-    extra_ess = qblocks.join(needed_ess, ["term", "block_id"], "left_semi").join(
-        surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
-    )
-    full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
-    qt_ess = qt_stats.join(F.broadcast(ess_pairs), ["query_id", "term"], "left_semi")
-    s_ess = _score_decoded(
-        full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_ess, avgdl, cfg
-    ).join(candidates, ["query_id", "doc_ord"], "left_semi")
-
-    # ---- θ-filter before the non-essential completion ----
-    # score(d) = s_ess(d) + s_ness(d) ≤ s_ess(d) + Σ_{t non-ess} tmax(t), so a
-    # candidate below θ on that bound can never reach the top-k; only the
-    # survivors pay the non-essential decode. ε pads the float comparison
-    # (scores are O(10); 1e-6 admits a few extra candidates, never drops one).
-    strong = (
-        s_ess.filter(
-            F.col("score") + F.element_at(ness_map, F.col("query_id"))
-            >= F.element_at(theta_map, F.col("query_id")) - F.lit(1e-6)
-        )
-        .select("query_id", "doc_ord")
-        .persist()
-    )
-
-    # ---- phase 3b: non-essential completion for the strong candidates ----
-    # Skipped entirely when no query has a non-essential term (the common
-    # WAND-routed shape — stopword-heavy queries where every term is
-    # essential): the 3b subplan otherwise adds ~6 broadcast-exchange subjobs
-    # and real Catalyst planning time for provably-empty relations, and
-    # s_ess over the essential completion IS the full exact score.
-    non_blocks = None
-    if ness_pairs_rows:
-        needed_non = (
-            strong.join(F.broadcast(ness_pairs), "query_id")
-            .join(F.broadcast(ranges_df), "term")
+        seed_needed = (
+            seed_top.join(F.broadcast(qt_stats.select("query_id", "term")), "query_id")
+            .join(F.broadcast(ranges_sel.select("term", "rng")), "term")
             .select(
-                "term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id")
+                "term",
+                F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"),
             )
             .dropDuplicates(["term", "block_id"])
         )
-        # a term can be essential for one query and non-essential for another —
-        # the anti-join against EVERYTHING already decoded keeps postings
-        # duplicate-free (a duplicated posting would double-count in the fold)
-        decoded_keys = surviving.select("term", "block_id").unionByName(
-            extra_ess.select("term", "block_id")
+        seed_cover = qblocks.join(seed_needed, ["term", "block_id"], "left_semi")
+        seed_exact = _score_decoded(decode_blocks(seed_cover.select(*_BLOCK_COLS)), qt_stats, avgdl, cfg).join(
+            seed_top, ["query_id", "doc_ord"], "left_semi"
         )
-        non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
-            decoded_keys, ["term", "block_id"], "left_anti"
+        # ONE collect for θ AND the per-term metadata (tagged union) — the scalars
+        # phases 2-3 need on the driver to build literal map expressions.
+        theta_rows = (
+            seed_exact.withColumn("rk", F.row_number().over(w_theta))
+            .filter(F.col("rk") == k)
+            .select(
+                F.lit("theta").alias("tag"),
+                F.col("query_id").cast("long").alias("qid"),
+                F.lit(None).cast("string").alias("term"),
+                F.col("score").alias("v1"),
+                F.lit(None).cast("long").alias("v2"),
+            )
         )
-        full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
-        scored = _score_decoded(
-            full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+        meta_rows = ranges_sel.select(
+            F.lit("meta").alias("tag"),
+            F.lit(None).cast("long").alias("qid"),
+            "term",
+            F.col("tmax").alias("v1"),
+            F.col("rng").alias("v2"),
         )
-        scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
-    else:
-        # every term essential → s_ess is already the exact full score for
-        # every candidate; the θ-filter (strong) bounds the final window input
-        scored = s_ess.join(strong, ["query_id", "doc_ord"], "left_semi")
+        _t0_theta = time.monotonic()
+        collected = theta_rows.unionByName(meta_rows).collect()
+        _t_theta = time.monotonic() - _t0_theta
+        _t0_final = time.monotonic()
+        seed_sel.unpersist()
+        theta = {int(r["qid"]): r["v1"] for r in collected if r["tag"] == "theta"}
+        tmax = {r["term"]: r["v1"] for r in collected if r["tag"] == "meta"}
+        range_by_term = {r["term"]: int(r["v2"]) for r in collected if r["tag"] == "meta"}
 
-    # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
-    # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
-    docs = idx.docs.select("doc_id", "doc_ord")
-    out = F.broadcast(scored).join(docs, "doc_ord").select("query_id", "doc_id", "score")
-    # Materialize the k·|q|-row result NOW (localCheckpoint is eager): the final
-    # job must run WHILE the qblocks/decoded/candidates caches are alive — an
-    # unpersist before the caller's collect would silently recompute both decode
-    # branches. The returned frame reads the checkpointed rows, lineage-free.
-    result = topk(out, k).localCheckpoint(eager=True)
-    if stats_out is not None:
-        # diagnostic counts AFTER the final materialization: they reuse the
-        # still-alive caches instead of recomputing phase 2, and never sit on
-        # the timed hot path.
-        stats_out["blocks_total"] = qmeta.count()
-        stats_out["blocks_surviving"] = surviving.count()
-        stats_out["blocks_extra_decoded"] = extra_ess.count() + (
-            non_blocks.count() if non_blocks is not None else 0
+        # ---- phase 2: ordinal-aligned segment pruning (exact, lossless) ----
+        # Every term's blocks TILE the doc-ordinal axis (block_id = ord // range), so
+        # the tightest metadata upper bound at ordinal x is
+        #     s_q(x) = Σ_{t ∈ q} block_max(t, x // range_t)
+        # — piecewise constant, changing only at block starts. A block of t survives
+        # for q iff some segment it overlaps has s_q ≥ θ_q. This strictly dominates
+        # the classic  block_max(t,b) + Σ_{t'≠t} global_max(t')  bound (which prunes
+        # NOTHING when per-term maxima come from short spike docs that cannot
+        # co-occur: global maxima sum to far above any real doc's score).
+        # Safety: score(d) ≤ s_q(ord(d)) for every doc d, so any top-k doc's segment
+        # clears θ and every block containing d overlaps that segment.
+        # All joins below are EQUI-joins on metadata relations (O(Σ blocks · |q|)):
+        # boundaries → active block per (boundary, term) via x // range — no range
+        # join, no window, safe for stopword terms with millions of blocks.
+        if not tmax:  # no query term has any block → empty result
+            qblocks.unpersist()
+            qmeta.unpersist()
+            return spark.createDataFrame(
+                [],
+                "query_id int, rank int, doc_id string, score double",
+            )
+        qt_pairs = qt_stats.select("query_id", "term")
+        range_map = F.create_map(
+            *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
         )
-        stats_out["n_candidates"] = candidates.count()
-        stats_out["n_strong"] = strong.count()
-        stats_out["essential_terms"] = {
-            qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
+        theta_map = F.create_map(
+            *[
+                x
+                for qid in sorted({q for q, _, _ in qt_stats_rows})
+                for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
+            ]
+        )
+        block_meta = qmeta.select(
+            "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
+        )
+        # distinct segment boundaries per query (starts of any query term's blocks),
+        # PRE-FILTERED by the classic bound before the ×|q| fan-out (r2 advisor: a
+        # stopword term contributes millions of boundaries, and expanding every one
+        # against every query term made the metadata job O(|boundaries|·|q|)).
+        # For a boundary x contributed by term t:
+        #     s_q(x) ≤ block_max(t, x) + Σ_{t'≠t} global_max(t')   (classic bound)
+        # so s_q(x) ≥ θ implies EVERY contributing term's classic bound clears θ —
+        # filtering on min(classic) ≥ θ is lossless and removes the fan-out for
+        # segments only a weak stopword block opened.
+        tmax_map = F.create_map(
+            *[x for t, m in sorted(tmax.items()) for x in (F.lit(t), F.lit(float(m)))]
+        )
+        qsum = {
+            qid: sum(tmax.get(t, 0.0) for q2, t, _ in qt_stats_rows if q2 == qid)
+            for qid in sorted({q for q, _, _ in qt_stats_rows})
         }
-        stats_out["theta"] = dict(theta)
-        stats_out["t_theta_sec"] = round(_t_theta, 3)
-        stats_out["t_final_sec"] = round(time.monotonic() - _t0_final, 3)
-    qblocks.unpersist()
-    qmeta.unpersist()
-    decoded.unpersist()
-    full_ess.unpersist()
-    candidates.unpersist()
-    strong.unpersist()
-    return result
+        qsum_map = F.create_map(
+            *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
+        )
+        bounds = (
+            block_meta.select("term", "x", "block_max_score")
+            .join(F.broadcast(qt_pairs), "term")
+            .groupBy("query_id", "x")
+            .agg(
+                F.min(
+                    F.col("block_max_score")
+                    + F.element_at(qsum_map, F.col("query_id"))
+                    - F.element_at(tmax_map, F.col("term"))
+                ).alias("classic_bound")
+            )
+            .filter(F.col("classic_bound") >= F.element_at(theta_map, F.col("query_id")))
+            .select("query_id", "x")
+        )
+        # active block of EVERY query term at each boundary; inner join drops terms
+        # with no block there (they contribute 0 to the sum — correct)
+        active = (
+            bounds.join(F.broadcast(qt_pairs), "query_id")
+            .select(
+                "query_id",
+                "x",
+                "term",
+                F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+                .cast("long")
+                .alias("block_id"),
+            )
+            .join(block_meta.select("term", "block_id", "block_max_score"), ["term", "block_id"])
+        )
+        surviving_x = (
+            active.groupBy("query_id", "x")
+            .agg(F.sum("block_max_score").alias("s"))
+            .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
+        )
+        # ---- MaxScore essential-term partition (driver-side, from θ + tmax) ----
+        # Sort each query's terms by global max ascending; the maximal prefix whose
+        # cumulative Σtmax stays BELOW θ is NON-ESSENTIAL: those terms alone cannot
+        # lift any doc to θ, so every top-k doc contains ≥1 essential term.
+        # Candidates therefore come from ESSENTIAL surviving blocks only, and
+        # non-essential terms are decoded later, only for candidates that can still
+        # clear θ. This is what makes mixed rare+hot queries cheap: for
+        # "rare_term the", θ (driven by the rare term's idf) exceeds tmax("the"),
+        # so "the" is non-essential and its millions of postings are decoded only
+        # for the handful of rare-term candidates within reach of θ — the
+        # ordinal-tiled segment bound alone cannot do this, because the rare term's
+        # wide tiles carry its high max into every segment (measured: 618/682
+        # blocks survived for "iceberg3 the"; with MaxScore only the rare term's
+        # blocks are candidate sources).
+        qids = sorted({q for q, _, _ in qt_stats_rows})
+        ess_pairs_rows: list[tuple[int, str]] = []
+        ness_pairs_rows: list[tuple[int, str]] = []
+        ness_sum: dict[int, float] = {}
+        for qid in qids:
+            tq = sorted((tmax.get(t, 0.0), t) for q2, t, _ in qt_stats_rows if q2 == qid and t in tmax)
+            th = theta.get(qid, float("-inf"))
+            cum, n_ness = 0.0, 0
+            for m, t in tq:
+                if cum + m < th:
+                    cum += m
+                    n_ness += 1
+                else:
+                    break
+            # ≥1 essential term always: if θ equals Σ tmax (one doc attains every
+            # term's max) a one-ulp difference between this ascending Python sum
+            # and Spark's deterministic fold could classify EVERY term
+            # non-essential, leaving no candidate source and silently returning
+            # zero rows (ADVICE r3). Keeping the max-tmax term essential is always
+            # sound — MaxScore only requires the non-essential prefix sum < θ.
+            if n_ness == len(tq) and tq:
+                n_ness -= 1
+                cum -= tq[-1][0]
+            ness_sum[qid] = cum
+            ness_pairs_rows += [(qid, t) for _, t in tq[:n_ness]]
+            ess_pairs_rows += [(qid, t) for _, t in tq[n_ness:]]
+        pair_schema = StructType(
+            [StructField("query_id", IntegerType(), False), StructField("term", StringType(), False)]
+        )
+        ess_pairs = spark.createDataFrame(ess_pairs_rows, pair_schema)
+        ness_pairs = spark.createDataFrame(ness_pairs_rows, pair_schema)
+        ness_map = F.create_map(
+            *[x for qid in qids for x in (F.lit(int(qid)), F.lit(float(ness_sum[qid])))]
+        )
+
+        # back to block keys: the boundary x lies in block x // range_t of each
+        # ESSENTIAL term (candidate sources; non-essential blocks are never
+        # candidate sources — see the MaxScore argument above)
+        surviving_keys = (
+            surviving_x.join(F.broadcast(ess_pairs), "query_id")
+            .select(
+                "term",
+                F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+                .cast("long")
+                .alias("block_id"),
+            )
+            .dropDuplicates(["term", "block_id"])
+        )
+        surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
+
+        # ---- phase 3a: candidates + exact ESSENTIAL score ----
+        # decoded is persisted: it feeds the candidate derivation AND is REUSED as
+        # the bulk of the essential-rescore input — only the needed-but-not-
+        # surviving remainder is decoded on top.
+        decoded = decode_blocks(surviving.select(*_BLOCK_COLS)).persist()
+        _persisted.append(decoded)
+        # per-query candidates: docs in any surviving block of a term ESSENTIAL to
+        # that query. Lazily persisted (no eager count — VERDICT r1).
+        candidates = (
+            decoded.join(F.broadcast(ess_pairs), "term")
+            .select("query_id", "doc_ord")
+            .dropDuplicates(["query_id", "doc_ord"])
+            .persist()
+        )
+        _persisted.append(candidates)
+        # blocks that can hold any posting of a candidate: block_id = ord // range with
+        # the range STORED in the blocks themselves (collected at rk=1 above) — valid
+        # even for blocks kept across incremental merges under older corpus stats.
+        ranges_df = spark.createDataFrame(
+            [(t, int(r)) for t, r in sorted(range_by_term.items())],
+            StructType(
+                [StructField("term", StringType(), False), StructField("rng", LongType(), False)]
+            ),
+        )
+        needed_ess = (
+            candidates.join(F.broadcast(ess_pairs), "query_id")
+            .join(F.broadcast(ranges_df), "term")
+            .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
+            .dropDuplicates(["term", "block_id"])
+        )
+        extra_ess = qblocks.join(needed_ess, ["term", "block_id"], "left_semi").join(
+            surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
+        )
+        full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
+        _persisted.append(full_ess)
+        qt_ess = qt_stats.join(F.broadcast(ess_pairs), ["query_id", "term"], "left_semi")
+        s_ess = _score_decoded(
+            full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_ess, avgdl, cfg
+        ).join(candidates, ["query_id", "doc_ord"], "left_semi")
+
+        # ---- θ-filter before the non-essential completion ----
+        # score(d) = s_ess(d) + s_ness(d) ≤ s_ess(d) + Σ_{t non-ess} tmax(t), so a
+        # candidate below θ on that bound can never reach the top-k; only the
+        # survivors pay the non-essential decode. ε pads the float comparison
+        # (scores are O(10); 1e-6 admits a few extra candidates, never drops one).
+        strong = (
+            s_ess.filter(
+                F.col("score") + F.element_at(ness_map, F.col("query_id"))
+                >= F.element_at(theta_map, F.col("query_id")) - F.lit(1e-6)
+            )
+            .select("query_id", "doc_ord")
+            .persist()
+        )
+        _persisted.append(strong)
+
+        # ---- phase 3b: non-essential completion for the strong candidates ----
+        # Skipped entirely when no query has a non-essential term (the common
+        # WAND-routed shape — stopword-heavy queries where every term is
+        # essential): the 3b subplan otherwise adds ~6 broadcast-exchange subjobs
+        # and real Catalyst planning time for provably-empty relations, and
+        # s_ess over the essential completion IS the full exact score.
+        non_blocks = None
+        if ness_pairs_rows:
+            needed_non = (
+                strong.join(F.broadcast(ness_pairs), "query_id")
+                .join(F.broadcast(ranges_df), "term")
+                .select(
+                    "term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id")
+                )
+                .dropDuplicates(["term", "block_id"])
+            )
+            # a term can be essential for one query and non-essential for another —
+            # the anti-join against EVERYTHING already decoded keeps postings
+            # duplicate-free (a duplicated posting would double-count in the fold)
+            decoded_keys = surviving.select("term", "block_id").unionByName(
+                extra_ess.select("term", "block_id")
+            )
+            non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
+                decoded_keys, ["term", "block_id"], "left_anti"
+            )
+            full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
+            scored = _score_decoded(
+                full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+            )
+            scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
+        else:
+            # every term essential → s_ess is already the exact full score for
+            # every candidate; the θ-filter (strong) bounds the final window input
+            scored = s_ess.join(strong, ["query_id", "doc_ord"], "left_semi")
+
+        # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
+        # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
+        docs = idx.docs.select("doc_id", "doc_ord")
+        out = F.broadcast(scored).join(docs, "doc_ord").select("query_id", "doc_id", "score")
+        # Materialize the k·|q|-row result NOW (localCheckpoint is eager): the final
+        # job must run WHILE the qblocks/decoded/candidates caches are alive — an
+        # unpersist before the caller's collect would silently recompute both decode
+        # branches. The returned frame reads the checkpointed rows, lineage-free.
+        result = topk(out, k).localCheckpoint(eager=True)
+        if stats_out is not None:
+            # diagnostic counts AFTER the final materialization: they reuse the
+            # still-alive caches instead of recomputing phase 2, and never sit on
+            # the timed hot path.
+            stats_out["blocks_total"] = qmeta.count()
+            stats_out["blocks_surviving"] = surviving.count()
+            stats_out["blocks_extra_decoded"] = extra_ess.count() + (
+                non_blocks.count() if non_blocks is not None else 0
+            )
+            stats_out["n_candidates"] = candidates.count()
+            stats_out["n_strong"] = strong.count()
+            stats_out["essential_terms"] = {
+                qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
+            }
+            stats_out["theta"] = dict(theta)
+            stats_out["t_theta_sec"] = round(_t_theta, 3)
+            stats_out["t_final_sec"] = round(time.monotonic() - _t0_final, 3)
+        qblocks.unpersist()
+        qmeta.unpersist()
+        decoded.unpersist()
+        full_ess.unpersist()
+        candidates.unpersist()
+        strong.unpersist()
+        return result
+
+    finally:
+        for _df in _persisted:
+            _df.unpersist()

@@ -66,3 +66,20 @@ def test_rollup_levels_must_nest(spark):
         rollup_hierarchy(ev, levels_sec=[60, 90])  # 90 not a multiple of 60
     levels = {r["level_sec"] for r in rollup_hierarchy(ev, levels_sec=[60, 120]).collect()}
     assert levels == {60, 120}
+
+
+def test_asof_join_string_tiebreak(spark):
+    """ADVICE r3: a non-numeric tiebreak column used to be cast("long") → NULL
+    for every row, silently reinstating arrival-order nondeterminism. The
+    tiebreak now orders in the column's own type: among right rows sharing
+    (key, ts), the greatest string id must win, deterministically."""
+    left = spark.createDataFrame([(1, "u", _ts(5))], "event_id int, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", _ts(5), "view-a"), ("u", _ts(5), "view-c"), ("u", _ts(5), "view-b")],
+        "user_id string, ts timestamp, view_id string",
+    )
+    for _ in range(3):
+        res = asof_join(
+            left, right, key="user_id", right_cols=["view_id"], tiebreak="view_id"
+        ).collect()
+        assert [r["asof_view_id"] for r in res] == ["view-c"]

@@ -123,3 +123,32 @@ def test_wand_scores_bit_identical_to_exact(spark):
     w = run_queries_wand(spark, idx, q, k=10, force_wand=True).collect()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])  # noqa: E731
     assert sorted(map(key, e)) == sorted(map(key, w))  # exact floats, no round
+
+
+def test_wand_one_doc_attains_every_term_max(spark):
+    """ADVICE r3: if one doc attains EVERY query term's max score, θ (k=1)
+    equals Σ tmax exactly, and a 1-ulp divergence between the driver's
+    ascending Python sum and Spark's deterministic fold could classify every
+    term non-essential → no candidate source → silent empty result. The
+    MaxScore guard keeps ≥1 essential term, so the top-1 must come back and
+    match the exact path."""
+    import datetime as _dt
+
+    ts = _dt.datetime(2026, 1, 1)
+    rows = [
+        # conv-a:0 — shortest doc containing BOTH terms → attains both maxima
+        ("conv-a", 0, "user", "alpha beta", None, ts),
+        # longer docs with the same tf → strictly lower per-term scores
+        ("conv-b", 0, "user", "alpha filler filler filler", None, ts),
+        ("conv-c", 0, "user", "beta filler filler filler", None, ts),
+        ("conv-d", 0, "user", "filler filler filler filler", None, ts),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    idx = build_index(t, with_blocks=True)
+    q = {1: "alpha beta"}
+    exact = _collect(run_queries(spark, idx, q, k=1))
+    wand = _collect(run_queries_wand(spark, idx, q, k=1, force_wand=True))
+    assert wand == exact
+    assert wand[1][0][1] == "conv-a:0"
