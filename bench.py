@@ -42,6 +42,29 @@ BENCH_QUERIES = {
 }
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_control_sec(workers: int, per_task: int = 3_000_000) -> float:
+    """Pure-CPU multiprocessing burn (no Spark) — the same machine control
+    tools/scaling_bench.py uses. The sandbox VM throttles episodically (2-4x
+    swings on identical jobs, VERDICT r3); running this before AND after the
+    query section lets a round's query numbers be judged against the box's
+    state during THAT run instead of against a different round's box state."""
+    import multiprocessing as mp
+
+    tasks = 2 * workers
+    with mp.Pool(workers) as p:
+        p.map(_burn, [per_task] * workers)  # warm
+        t0 = time.monotonic()
+        p.map(_burn, [per_task] * tasks)
+        return time.monotonic() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -114,6 +137,10 @@ def main() -> None:
     # memo fill + broadcast codegen once; steady state is what the suite times.
     run_queries(spark, idx, BENCH_QUERIES, k=10).collect()
 
+    # pure-CPU control brackets the query section (VERDICT r3 #2: the r3 query
+    # regression was unattributable because no control ran inside bench.py)
+    cpu_pre = cpu_control_sec(cpus)
+
     # ---- query: exact path (all 5 queries in one plan) ----
     timings["bm25_exact_batch"] = best_of(
         2, lambda: run_queries(spark, idx, BENCH_QUERIES, k=10).collect()
@@ -178,6 +205,7 @@ def main() -> None:
             lat_ms.append(min(samples))
     slat = sorted(lat_ms)
     timings["query_p50"] = slat[len(slat) // 2] / 1000.0 if slat else float("nan")
+    cpu_post = cpu_control_sec(cpus)
 
     # ---- query p50 against the MATERIALIZED index (the real serving path at
     # 10^12 turns: parquet scans with pushed term filters, nothing cached) ----
@@ -227,6 +255,12 @@ def main() -> None:
         "max_latency_ms": round(slat[-1], 1) if slat else None,
         "successful_queries": ok,
         "failed_queries": failed,
+        # machine-state control: pure-CPU burn seconds before/after the query
+        # section. Compare rounds via (query_sec / cpu_control_sec) when the
+        # control itself moved; "stable" means the box didn't shift mid-section.
+        "cpu_control_pre_sec": round(cpu_pre, 3),
+        "cpu_control_post_sec": round(cpu_post, 3),
+        "cpu_control_stable": abs(cpu_pre - cpu_post) / max(cpu_pre, cpu_post) < 0.15,
         "wand_pruning": wand_stats,
     }
     spark.stop()

@@ -67,33 +67,52 @@ def minhash_bands(
     n_hashes: int = DEFAULT_N_HASHES,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_n: int = DEFAULT_SHINGLE_N,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) from (doc_id, terms: array<string>).
 
-    h_s(doc) = min over shingles of md5(s || ':' || shingle); band hash = md5 of
-    its rows' minima concatenated in seed order. The 128 per-seed minima are
-    element-wise agg columns — no seed × shingle row blowup (module docstring)."""
+    h_s(doc) = min over shingles of hash(s, shingle); band hash = hash of its
+    rows' minima in seed order. The 128 per-seed minima are element-wise agg
+    columns — no seed × shingle row blowup (module docstring).
+
+    ``hash_family``:
+    * ``"md5"`` — hex-string hashes (string min == numeric min on fixed-width
+      hex). Portable to the DuckDB oracle; this is what the correctness slice
+      uses. COST: 128 md5 calls per (doc, shingle) row was 557 s of the 670 s
+      1M-doc pipeline (DEDUP_SCALE_r03.json) — md5 is a cryptographic digest
+      doing far more work than dedup needs.
+    * ``"xxhash64"`` — JVM-intrinsic 64-bit hashes, an order of magnitude
+      cheaper; seeded per hash function by chaining the seed literal into the
+      hash (xxhash64(seed, shingle)), minima taken numerically. The scale path
+      (tools/dedup_scale.py asserts cluster-level equality between the two
+      families at 1M docs). Both keep the whole pipeline JVM-side.
+    """
     assert n_hashes % rows_per_band == 0
+    assert hash_family in ("md5", "xxhash64")
     sh = shingles(tokenized, shingle_n)
-    hashed = sh.select(
-        "doc_id",
-        *[
+    if hash_family == "md5":
+        hcols = [
             F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle"))).alias(f"h{s}")
             for s in range(n_hashes)
-        ],
-    )
+        ]
+    else:
+        hcols = [F.xxhash64(F.lit(s), F.col("shingle")).alias(f"h{s}") for s in range(n_hashes)]
+    hashed = sh.select("doc_id", *hcols)
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
     )
     n_bands = n_hashes // rows_per_band
+
+    def _band_hash(b: int):
+        row_cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("", *row_cols))
+        return F.xxhash64(*row_cols).cast("string")
+
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("band_hash"),
+            _band_hash(b).alias("band_hash"),
         )
         for b in range(n_bands)
     ]
@@ -175,21 +194,47 @@ def simhash(tokenized: DataFrame) -> DataFrame:
     return tokenized.select("doc_id", "terms").mapInPandas(kernel, SIMHASH_SCHEMA)
 
 
-def simhash_near_pairs(sh: DataFrame, prefix_bits: int = 16) -> DataFrame:
-    """Candidate pairs whose simhash agrees on the top ``prefix_bits`` — the
-    bucketed (scale) path; exact Hamming verification can follow on candidates."""
-    shift = 64 - prefix_bits
-    b = sh.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), shift))
-    a1 = b.select("bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b1 = b.select("bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        a1.join(b1, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+def simhash_near_pairs(
+    sh: DataFrame, prefix_bits: int = 16, n_tables: int = 1
+) -> DataFrame:
+    """Candidate pairs whose simhash agrees on at least one of ``n_tables``
+    disjoint ``prefix_bits``-wide bands, with exact Hamming distance computed
+    on every candidate. Still bucket-local — never all-pairs.
+
+    Recall guarantee (pigeonhole): a pair at Hamming distance d differs in d
+    bit positions; with T disjoint bands covering T·prefix_bits bits, any pair
+    with d < T agrees on ≥1 whole band and IS generated as a candidate. The
+    r2 single-table variant (n_tables=1, the oracle slice's parameterization)
+    only sees pairs agreeing on the TOP 16 bits — pairs differing inside those
+    bits are silently missed (VERDICT r3 #7); n_tables=4 over the full 64-bit
+    hash guarantees every pair at Hamming ≤ 3.
+
+    One self-join: docs explode into (table, bucket) keys, the join is EQUI on
+    them, duplicates (pairs agreeing on several bands) collapse before the
+    bit_count. Filter ``hamming <= T-1`` downstream for the guaranteed regime.
+    """
+    assert 1 <= n_tables and n_tables * prefix_bits <= 64
+    mask = (1 << prefix_bits) - 1
+    keys = [
+        F.struct(
+            F.lit(i).cast("int").alias("tbl"),
+            F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits * (i + 1))
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
         )
-        .select("doc_a", "doc_b", "hamming")
+        for i in range(n_tables)
+    ]
+    b = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("k")
+    ).select("doc_id", "simhash", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket"))
+    a1 = b.select("tbl", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b1 = b.select("tbl", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a1.join(b1, ["tbl", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("sh_a").bitwiseXOR(F.col("sh_b")).alias("__x"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", F.bit_count(F.col("__x")).alias("hamming"))
     )
 
 

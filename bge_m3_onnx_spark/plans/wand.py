@@ -86,22 +86,6 @@ from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 _BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"]
 
 
-def _score_decoded(decoded: DataFrame, qt: DataFrame, avgdl: float, cfg: EngineConfig) -> DataFrame:
-    """decoded (term, doc_ord, tf, dl) × qt (query_id, term, idf) → per-doc sums.
-
-    Summation is the TERM-SORTED deterministic fold shared with the exact path
-    (operators/bm25.py:sum_scores_deterministic): WAND's rank-identity with the
-    exact plan must not hang on IEEE summation order when scores tie at the
-    k boundary (measured failure at 10M docs before this)."""
-    per_term = decoded.join(F.broadcast(qt), "term").select(
-        "query_id",
-        "doc_ord",
-        "term",
-        bm25_term_score(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, cfg).alias("s"),
-    )
-    return sum_scores_deterministic(per_term, ["query_id", "doc_ord"])
-
-
 def run_queries_wand(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -200,22 +184,69 @@ def _run_queries_wand_forced(
         )
     n, avgdl = idx.n_docs, idx.avgdl
     qt_stats_rows = [(r["query_id"], r["term"], int(r["df"])) for r in qt_rows]
-    qt_schema = StructType(
-        [
-            StructField("query_id", IntegerType(), False),
-            StructField("term", StringType(), False),
-            StructField("df", LongType(), False),
+    qterms_list = sorted({t for _, t, _ in qt_stats_rows})
+
+    # ---- driver-known LITERAL relations (r4 machinery-constant cut) ----
+    # The r3 event-log profile (WAND_CAL_r03.json) showed the per-batch cost is
+    # a ~10-25 s CONSTANT: ~25 broadcast-exchange subjobs (~6 s) + ~4 s of
+    # Catalyst planning, invariant to corpus size. Most of those exchanges were
+    # tiny createDataFrame sides (query terms, essential sets, per-term ranges)
+    # being broadcast-joined. Every one of those relations is already known on
+    # the driver, so it is inlined as a map/array literal instead:
+    # explode(element_at(map, key)) IS the inner join against a driver-known
+    # relation — no exchange, no subjob, and a much smaller plan tree.
+    # (Measured anti-optimization note: coalesce(1) on parallelized tiny
+    # relations REGRESSED the machinery 3x — literals sidestep that entirely.)
+    _terms_by_qid: dict[int, list[str]] = {}
+    _qids_by_term: dict[str, list[int]] = {}
+    _df_by_term: dict[str, int] = {}
+    for _q, _t, _d in qt_stats_rows:
+        _terms_by_qid.setdefault(int(_q), []).append(_t)
+        _qids_by_term.setdefault(_t, []).append(int(_q))
+        _df_by_term[_t] = int(_d)
+
+    def _qids_map_lit(by_term: dict[str, list[int]]):
+        return F.create_map(
+            *[
+                x
+                for t, qs in sorted(by_term.items())
+                for x in (F.lit(t), F.array(*[F.lit(int(q)) for q in sorted(qs)]))
+            ]
+        )
+
+    all_qids_map = _qids_map_lit(_qids_by_term)
+    # df as a DOUBLE literal per term: idf is then computed with the SAME
+    # Spark-side idf_col expression the exact path uses — java.lang.Math.log
+    # and Python math.log can disagree at the last ulp, and WAND's
+    # rank-identity with the exact plan must not depend on libm flavor.
+    df_map_lit = F.create_map(
+        *[x for t, d in sorted(_df_by_term.items()) for x in (F.lit(t), F.lit(float(d)))]
+    )
+    q2terms_lit = F.create_map(
+        *[
+            x
+            for qid, ts in sorted(_terms_by_qid.items())
+            for x in (F.lit(int(qid)), F.array(*[F.lit(t) for t in sorted(ts)]))
         ]
     )
-    # idf as the SAME Spark-side expression the exact path uses (idf_col):
-    # java.lang.Math.log and Python math.log can disagree at the last ulp, and
-    # WAND's rank-identity with the exact plan must not depend on libm flavor.
-    # (Measured anti-optimization note: coalesce(1) on these parallelized tiny
-    # relations REGRESSED the machinery 3x — leave them at default slices.)
-    qt_stats = spark.createDataFrame(qt_stats_rows, qt_schema).withColumn(
-        "idf", idf_col(F.col("df").cast("double"), n)
-    )
-    qterms_list = sorted({t for _, t, _ in qt_stats_rows})
+
+    def _score_decoded_lit(decoded: DataFrame, qids_map) -> DataFrame:
+        """decoded (term, doc_ord, tf, dl) × literal query-term map → per-doc
+        sums, via explode instead of a broadcast join. Summation stays the
+        term-sorted deterministic fold shared with the exact path."""
+        per_term = decoded.select(
+            F.explode(F.element_at(qids_map, F.col("term"))).alias("query_id"),
+            "doc_ord",
+            "term",
+            bm25_term_score(
+                F.col("tf"),
+                F.col("dl"),
+                idf_col(F.element_at(df_map_lit, F.col("term")), n),
+                avgdl,
+                cfg,
+            ).alias("s"),
+        )
+        return sum_scores_deterministic(per_term, ["query_id", "doc_ord"])
 
     # blocks restricted to query terms: pushed isin → partition/row-group pruning.
     # Coalesced to the Σdf-sized width (spark.sql.shuffle.partitions was scoped
@@ -289,7 +320,7 @@ def _run_queries_wand_forced(
         seed_blocks = qblocks.join(
             F.broadcast(seed_sel.select("term", "block_id")), ["term", "block_id"], "left_semi"
         ).select(*_BLOCK_COLS)
-        seed_scores = _score_decoded(decode_blocks(seed_blocks), qt_stats, avgdl, cfg)
+        seed_scores = _score_decoded_lit(decode_blocks(seed_blocks), all_qids_map)
         w_theta = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
         seed_top = (
             seed_scores.withColumn("rk", F.row_number().over(w_theta))
@@ -297,7 +328,11 @@ def _run_queries_wand_forced(
             .select("query_id", "doc_ord")
         )
         seed_needed = (
-            seed_top.join(F.broadcast(qt_stats.select("query_id", "term")), "query_id")
+            # query→terms via literal explode; only the per-term rng (still
+            # distributed pre-collect) needs a real broadcast join here
+            seed_top.select(
+                "doc_ord", F.explode(F.element_at(q2terms_lit, F.col("query_id"))).alias("term")
+            )
             .join(F.broadcast(ranges_sel.select("term", "rng")), "term")
             .select(
                 "term",
@@ -306,7 +341,7 @@ def _run_queries_wand_forced(
             .dropDuplicates(["term", "block_id"])
         )
         seed_cover = qblocks.join(seed_needed, ["term", "block_id"], "left_semi")
-        seed_exact = _score_decoded(decode_blocks(seed_cover.select(*_BLOCK_COLS)), qt_stats, avgdl, cfg).join(
+        seed_exact = _score_decoded_lit(decode_blocks(seed_cover.select(*_BLOCK_COLS)), all_qids_map).join(
             seed_top, ["query_id", "doc_ord"], "left_semi"
         )
         # ONE collect for θ AND the per-term metadata (tagged union) — the scalars
@@ -359,7 +394,6 @@ def _run_queries_wand_forced(
                 [],
                 "query_id int, rank int, doc_id string, score double",
             )
-        qt_pairs = qt_stats.select("query_id", "term")
         range_map = F.create_map(
             *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
         )
@@ -393,8 +427,12 @@ def _run_queries_wand_forced(
             *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
         )
         bounds = (
-            block_meta.select("term", "x", "block_max_score")
-            .join(F.broadcast(qt_pairs), "term")
+            block_meta.select(
+                "term",
+                "x",
+                "block_max_score",
+                F.explode(F.element_at(all_qids_map, F.col("term"))).alias("query_id"),
+            )
             .groupBy("query_id", "x")
             .agg(
                 F.min(
@@ -409,7 +447,9 @@ def _run_queries_wand_forced(
         # active block of EVERY query term at each boundary; inner join drops terms
         # with no block there (they contribute 0 to the sum — correct)
         active = (
-            bounds.join(F.broadcast(qt_pairs), "query_id")
+            bounds.select(
+                "query_id", "x", F.explode(F.element_at(q2terms_lit, F.col("query_id"))).alias("term")
+            )
             .select(
                 "query_id",
                 "x",
@@ -465,20 +505,60 @@ def _run_queries_wand_forced(
             ness_sum[qid] = cum
             ness_pairs_rows += [(qid, t) for _, t in tq[:n_ness]]
             ess_pairs_rows += [(qid, t) for _, t in tq[n_ness:]]
-        pair_schema = StructType(
-            [StructField("query_id", IntegerType(), False), StructField("term", StringType(), False)]
-        )
-        ess_pairs = spark.createDataFrame(ess_pairs_rows, pair_schema)
-        ness_pairs = spark.createDataFrame(ness_pairs_rows, pair_schema)
         ness_map = F.create_map(
             *[x for qid in qids for x in (F.lit(int(qid)), F.lit(float(ness_sum[qid])))]
+        )
+        # essential/non-essential sets as LITERALS (driver-computed above):
+        # term → qids it is essential for; qid → its essential terms; and, with
+        # the collected per-term ranges, qid → array<struct<term, rng>> so the
+        # covering-block derivations below are pure projections, not joins.
+        _ess_by_term: dict[str, list[int]] = {}
+        _ess_by_qid: dict[int, list[str]] = {}
+        for _q, _t in ess_pairs_rows:
+            _ess_by_term.setdefault(_t, []).append(_q)
+            _ess_by_qid.setdefault(_q, []).append(_t)
+        _ness_by_qid: dict[int, list[str]] = {}
+        for _q, _t in ness_pairs_rows:
+            _ness_by_qid.setdefault(_q, []).append(_t)
+        ess_qids_map = _qids_map_lit(_ess_by_term)
+
+        def _term_rng_map_lit(by_qid: dict[int, list[str]]):
+            return F.create_map(
+                *[
+                    x
+                    for qid2, ts in sorted(by_qid.items())
+                    for x in (
+                        F.lit(int(qid2)),
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(t).alias("term"),
+                                    F.lit(int(range_by_term[t])).alias("rng"),
+                                )
+                                for t in sorted(ts)
+                                if t in range_by_term
+                            ]
+                        ),
+                    )
+                ]
+            )
+
+        q2ess_tr_lit = _term_rng_map_lit(_ess_by_qid)
+        q2ess_terms_lit = F.create_map(
+            *[
+                x
+                for qid2, ts in sorted(_ess_by_qid.items())
+                for x in (F.lit(int(qid2)), F.array(*[F.lit(t) for t in sorted(ts)]))
+            ]
         )
 
         # back to block keys: the boundary x lies in block x // range_t of each
         # ESSENTIAL term (candidate sources; non-essential blocks are never
         # candidate sources — see the MaxScore argument above)
         surviving_keys = (
-            surviving_x.join(F.broadcast(ess_pairs), "query_id")
+            surviving_x.select(
+                "x", F.explode(F.element_at(q2ess_terms_lit, F.col("query_id"))).alias("term")
+            )
             .select(
                 "term",
                 F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
@@ -498,8 +578,9 @@ def _run_queries_wand_forced(
         # per-query candidates: docs in any surviving block of a term ESSENTIAL to
         # that query. Lazily persisted (no eager count — VERDICT r1).
         candidates = (
-            decoded.join(F.broadcast(ess_pairs), "term")
-            .select("query_id", "doc_ord")
+            decoded.select(
+                F.explode(F.element_at(ess_qids_map, F.col("term"))).alias("query_id"), "doc_ord"
+            )
             .dropDuplicates(["query_id", "doc_ord"])
             .persist()
         )
@@ -507,16 +588,14 @@ def _run_queries_wand_forced(
         # blocks that can hold any posting of a candidate: block_id = ord // range with
         # the range STORED in the blocks themselves (collected at rk=1 above) — valid
         # even for blocks kept across incremental merges under older corpus stats.
-        ranges_df = spark.createDataFrame(
-            [(t, int(r)) for t, r in sorted(range_by_term.items())],
-            StructType(
-                [StructField("term", StringType(), False), StructField("rng", LongType(), False)]
-            ),
-        )
         needed_ess = (
-            candidates.join(F.broadcast(ess_pairs), "query_id")
-            .join(F.broadcast(ranges_df), "term")
-            .select("term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id"))
+            candidates.select(
+                "doc_ord", F.explode(F.element_at(q2ess_tr_lit, F.col("query_id"))).alias("tr")
+            )
+            .select(
+                F.col("tr.term").alias("term"),
+                F.floor(F.col("doc_ord") / F.col("tr.rng")).cast("long").alias("block_id"),
+            )
             .dropDuplicates(["term", "block_id"])
         )
         extra_ess = qblocks.join(needed_ess, ["term", "block_id"], "left_semi").join(
@@ -524,9 +603,8 @@ def _run_queries_wand_forced(
         )
         full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
         _persisted.append(full_ess)
-        qt_ess = qt_stats.join(F.broadcast(ess_pairs), ["query_id", "term"], "left_semi")
-        s_ess = _score_decoded(
-            full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), qt_ess, avgdl, cfg
+        s_ess = _score_decoded_lit(
+            full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), ess_qids_map
         ).join(candidates, ["query_id", "doc_ord"], "left_semi")
 
         # ---- θ-filter before the non-essential completion ----
@@ -552,11 +630,15 @@ def _run_queries_wand_forced(
         # s_ess over the essential completion IS the full exact score.
         non_blocks = None
         if ness_pairs_rows:
+            q2ness_tr_lit = _term_rng_map_lit(_ness_by_qid)
             needed_non = (
-                strong.join(F.broadcast(ness_pairs), "query_id")
-                .join(F.broadcast(ranges_df), "term")
+                strong.select(
+                    "doc_ord",
+                    F.explode(F.element_at(q2ness_tr_lit, F.col("query_id"))).alias("tr"),
+                )
                 .select(
-                    "term", F.floor(F.col("doc_ord") / F.col("rng")).cast("long").alias("block_id")
+                    F.col("tr.term").alias("term"),
+                    F.floor(F.col("doc_ord") / F.col("tr.rng")).cast("long").alias("block_id"),
                 )
                 .dropDuplicates(["term", "block_id"])
             )
@@ -570,8 +652,8 @@ def _run_queries_wand_forced(
                 decoded_keys, ["term", "block_id"], "left_anti"
             )
             full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
-            scored = _score_decoded(
-                full.join(strong.select("doc_ord").distinct(), "doc_ord"), qt_stats, avgdl, cfg
+            scored = _score_decoded_lit(
+                full.join(strong.select("doc_ord").distinct(), "doc_ord"), all_qids_map
             )
             scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
         else:

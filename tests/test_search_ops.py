@@ -137,3 +137,36 @@ def test_percolate_and_or_semantics(spark):
     assert got == {("d1", 1), ("d3", 2)}
     got_or = {(r["doc_id"], r["query_id"]) for r in percolate(toks, saved, conjunctive=False).collect()}
     assert got_or == {("d1", 1), ("d2", 1), ("d3", 1), ("d3", 2), ("d1", 3), ("d2", 3), ("d3", 3)}
+
+
+def test_percolate_rarest_term_equals_plain(spark):
+    """The rarest-term candidate path (VERDICT r3 #5) is an optimization, not a
+    semantics change: conjunctive results must be identical to the plain path,
+    including queries whose rarest term is hot and docs matching several
+    queries."""
+    from bge_m3_onnx_spark.operators.percolate import percolate, saved_queries_df
+
+    docs = [
+        ("d1", ["the", "spark", "shuffle"]),
+        ("d2", ["the", "spark"]),
+        ("d3", ["spark", "shuffle", "rare1"]),
+        ("d4", ["the"]),
+        ("d5", ["rare1", "rare2", "the", "spark", "shuffle"]),
+    ]
+    toks = spark.createDataFrame(
+        [(d, t) for d, ts in docs for t in ts], "doc_id string, term string"
+    )
+    queries = {1: "the spark", 2: "spark shuffle", 3: "rare1 the", 4: "rare2"}
+    saved = saved_queries_df(spark, queries)
+    # df over this corpus: the=4, spark=4, shuffle=3, rare1=2, rare2=1
+    rarest = {1: "spark", 2: "shuffle", 3: "rare1", 4: "rare2"}
+    plain = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(toks, saved, conjunctive=True).collect()
+    }
+    fast = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(toks, saved, conjunctive=True, rarest_term=rarest).collect()
+    }
+    assert plain == fast
+    assert ("d5", 3, 2) in fast and ("d4", 1, 2) not in fast
