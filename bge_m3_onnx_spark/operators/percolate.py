@@ -35,58 +35,71 @@ def saved_queries_df(
     return spark.createDataFrame(rows, "query_id int, term string, n_terms int")
 
 
+def rarest_terms_df(saved: DataFrame, term_df: DataFrame) -> DataFrame:
+    """(query_id, term): each saved query's lowest-df term, df from the
+    index's term relation (term, df). Terms absent from the index get df 0 —
+    they are the rarest possible (the query can then match nothing, which the
+    candidate join discovers for free). Ties break on term for determinism."""
+    joined = saved.select("query_id", "term").join(
+        term_df.select("term", "df"), "term", "left"
+    ).withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+    w_rank = F.struct(F.col("df"), F.col("term"))
+    return (
+        joined.groupBy("query_id")
+        .agg(F.min(w_rank).alias("m"))
+        .select("query_id", F.col("m.term").alias("term"))
+    )
+
+
 def percolate(
     doc_tokens: DataFrame,
     saved: DataFrame,
     conjunctive: bool = True,
-    rarest_term: dict[int, str] | None = None,
+    rarest: DataFrame | None = None,
 ) -> DataFrame:
     """doc_tokens (doc_id, term) × saved (query_id, term, n_terms) →
     (doc_id, query_id, n_matched). AND semantics requires every query term in
     the doc; OR keeps any overlap. Duplicate doc tokens are deduped so
     n_matched counts distinct terms.
 
-    ``rarest_term`` (conjunctive only): {query_id: its lowest-df term}, df from
-    the index's term relation (driver-known). The r3 1M-doc × 10k-query run
+    ``rarest`` (conjunctive only): (query_id, term) — each query's lowest-df
+    term, from :func:`rarest_terms_df`. The r3 1M-doc × 10k-query run
     (PERCOLATE_SCALE_r03.json) spent 97% of its time hash-aggregating 6.77M
     (doc, query) match rows because hot-term saved queries each touch df(term)
     docs — the agg volume is Σ_q Σ_{t∈q} df(t). With rarest-term candidate
-    generation, a doc becomes a candidate for q only via q's RAREST term
-    (sound for AND: a doc missing the rarest term can't match), then the
-    remaining terms are verified by one more broadcast join — volume drops to
-    Σ_q df(rarest(q)) · |q|, orders of magnitude less on hot-term workloads.
+    generation a doc becomes a candidate for q only via q's RAREST term (sound
+    for AND: a doc missing the rarest term can't match), and verification is
+    one candidate-bounded join against per-doc term sets — volume drops to
+    Σ_q df(rarest(q)), orders of magnitude less on hot-term workloads.
+
+    The verification deliberately avoids both a per-(doc, query, term) row
+    blowup and any broadcast of a distributed intermediate: doc term-SETS are
+    aggregated once (one shuffle of the probe tokens, amortizable across
+    batches), candidates join them on doc_id, and the match count is
+    ``size(array_intersect(doc_terms, query_terms))`` with the per-query term
+    array broadcast from the tiny saved relation. At 10^5 saved queries the
+    saved/qarr relations stay broadcast-sized while candidates shuffle only
+    Σ_q df(rarest(q)) rows.
     """
     toks = doc_tokens.select("doc_id", "term").distinct()
-    if conjunctive and rarest_term:
-        # one term can be the rarest of several queries → term → array<qid>;
-        # explode(element_at(...)) is the broadcast join against this
-        # driver-known relation with no exchange (same trick as plans/wand.py)
-        by_term: dict[str, list[int]] = {}
-        for qid, t in rarest_term.items():
-            by_term.setdefault(t, []).append(int(qid))
-        rare_map = F.create_map(
-            *[
-                x
-                for t, qs in sorted(by_term.items())
-                for x in (F.lit(t), F.array(*[F.lit(q) for q in sorted(qs)]))
-            ]
+    if conjunctive and rarest is not None:
+        cands = toks.join(F.broadcast(rarest), "term").select("doc_id", "query_id")
+        doc_terms = toks.groupBy("doc_id").agg(F.collect_set("term").alias("dts"))
+        qarr = saved.groupBy("query_id").agg(
+            F.collect_set("term").alias("qts"), F.max("n_terms").alias("__need")
         )
-        cands = toks.select(
-            "doc_id", F.explode(F.element_at(rare_map, F.col("term"))).alias("query_id")
-        )
-        # verify: candidate (doc, query) must match ALL of the query's terms —
-        # the same agg as the plain path, but over candidate-bounded input
-        cand_terms = cands.join(F.broadcast(saved), "query_id")
-        pairs = (
-            toks.join(F.broadcast(cand_terms), ["doc_id", "term"])
-            .groupBy("doc_id", "query_id")
-            .agg(
-                F.count("*").cast("int").alias("n_matched"),
-                F.max("n_terms").alias("__need"),
+        return (
+            cands.join(doc_terms, "doc_id")
+            .join(F.broadcast(qarr), "query_id")
+            .select(
+                "doc_id",
+                "query_id",
+                F.size(F.array_intersect("dts", "qts")).alias("n_matched"),
+                "__need",
             )
             .filter(F.col("n_matched") == F.col("__need"))
+            .drop("__need")
         )
-        return pairs.drop("__need")
     pairs = (
         toks.join(F.broadcast(saved), "term")
         .groupBy("doc_id", "query_id")

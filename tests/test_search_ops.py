@@ -142,9 +142,13 @@ def test_percolate_and_or_semantics(spark):
 def test_percolate_rarest_term_equals_plain(spark):
     """The rarest-term candidate path (VERDICT r3 #5) is an optimization, not a
     semantics change: conjunctive results must be identical to the plain path,
-    including queries whose rarest term is hot and docs matching several
-    queries."""
-    from bge_m3_onnx_spark.operators.percolate import percolate, saved_queries_df
+    including queries whose rarest term is hot, docs matching several
+    queries, and a query term absent from the corpus entirely."""
+    from bge_m3_onnx_spark.operators.percolate import (
+        percolate,
+        rarest_terms_df,
+        saved_queries_df,
+    )
 
     docs = [
         ("d1", ["the", "spark", "shuffle"]),
@@ -156,17 +160,21 @@ def test_percolate_rarest_term_equals_plain(spark):
     toks = spark.createDataFrame(
         [(d, t) for d, ts in docs for t in ts], "doc_id string, term string"
     )
-    queries = {1: "the spark", 2: "spark shuffle", 3: "rare1 the", 4: "rare2"}
+    queries = {1: "the spark", 2: "spark shuffle", 3: "rare1 the", 4: "rare2", 5: "ghost the"}
     saved = saved_queries_df(spark, queries)
-    # df over this corpus: the=4, spark=4, shuffle=3, rare1=2, rare2=1
-    rarest = {1: "spark", 2: "shuffle", 3: "rare1", 4: "rare2"}
+    # df over this corpus: the=4, spark=4, shuffle=3, rare1=2, rare2=1, ghost=0
+    term_df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    rarest = rarest_terms_df(saved, term_df)
+    got_rarest = {(r["query_id"], r["term"]) for r in rarest.collect()}
+    assert got_rarest == {(1, "spark"), (2, "shuffle"), (3, "rare1"), (4, "rare2"), (5, "ghost")}
     plain = {
         (r["doc_id"], r["query_id"], r["n_matched"])
         for r in percolate(toks, saved, conjunctive=True).collect()
     }
     fast = {
         (r["doc_id"], r["query_id"], r["n_matched"])
-        for r in percolate(toks, saved, conjunctive=True, rarest_term=rarest).collect()
+        for r in percolate(toks, saved, conjunctive=True, rarest=rarest).collect()
     }
     assert plain == fast
     assert ("d5", 3, 2) in fast and ("d4", 1, 2) not in fast
+    assert not any(q == 5 for _, q, _ in fast)  # 'ghost' never matches

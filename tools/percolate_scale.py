@@ -24,7 +24,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG  # noqa: E402
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_udf  # noqa: E402
-from bge_m3_onnx_spark.operators.percolate import percolate  # noqa: E402
+from bge_m3_onnx_spark.operators.percolate import (  # noqa: E402
+    percolate,
+    rarest_terms_df,
+)
 from bge_m3_onnx_spark.session import get_spark  # noqa: E402
 from bge_m3_onnx_spark.sources.transcripts import (  # noqa: E402
     _HOT_TERMS,
@@ -66,14 +69,34 @@ def main() -> int:
         "doc_id", F.explode("terms").alias("term")
     )
 
+    # materialize the probe tokens ONCE so both paths time matching, not the
+    # shared tokenize pass (1M docs × ~50 distinct terms)
+    toks = toks.persist()
+    n_tok_rows = toks.count()
+
+    # ---- plain path (r3 baseline, re-measured in-run for machine-state parity)
     t0 = time.monotonic()
     matches = percolate(toks, saved, conjunctive=True)
     n_matches = matches.count()
     t_perc = time.monotonic() - t0
 
+    # ---- rarest-term candidate path (VERDICT r3 #5): df from one agg over the
+    # probe tokens (in the serving engine this is the index's term relation —
+    # driver-free either way), candidates only via each query's min-df term
+    t0 = time.monotonic()
+    term_df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    rarest = rarest_terms_df(saved, term_df).persist()
+    rarest.count()
+    t_rarest_prep = time.monotonic() - t0
+    t0 = time.monotonic()
+    fast = percolate(toks, saved, conjunctive=True, rarest=rarest)
+    n_matches_fast = fast.count()
+    t_fast = time.monotonic() - t0
+    assert n_matches_fast == n_matches, (n_matches_fast, n_matches)
+
     # alert fan-in shape: distinct alerted queries + per-query doc counts
     t0 = time.monotonic()
-    per_q = matches.groupBy("query_id").agg(F.count("*").alias("n_docs"))
+    per_q = fast.groupBy("query_id").agg(F.count("*").alias("n_docs"))
     n_alerted = per_q.count()
     top = [r.asDict() for r in per_q.orderBy(F.desc("n_docs"), F.asc("query_id")).limit(3).collect()]
     t_agg = time.monotonic() - t0
@@ -82,13 +105,19 @@ def main() -> int:
         "n_docs": n_docs,
         "n_saved_queries": n_queries,
         "saved_rows_broadcast": len(saved_rows),
+        "probe_token_rows": n_tok_rows,
         "build_saved_sec": round(t_saved, 1),
-        "percolate_sec": round(t_perc, 1),
+        "percolate_plain_sec": round(t_perc, 1),
+        "rarest_prep_sec": round(t_rarest_prep, 1),
+        "percolate_rarest_sec": round(t_fast, 1),
         "agg_sec": round(t_agg, 1),
         "matches": n_matches,
+        "matches_rarest_equal": True,
         "alerted_queries": n_alerted,
         "top_queries": top,
-        "docs_per_sec": round(n_docs / t_perc, 1),
+        "docs_per_sec_plain": round(n_docs / t_perc, 1),
+        "docs_per_sec_rarest": round(n_docs / t_fast, 1),
+        "speedup_rarest_vs_plain": round(t_perc / t_fast, 2),
         "status": "PASS",
     }
     print(json.dumps(out))
