@@ -227,6 +227,79 @@ def write_index_iceberg(
     )
 
 
+def write_index_bucketed(
+    idx: InvertedIndex, table_prefix: str, n_buckets: int = 256
+) -> None:
+    """SparkSessionExtensions-free analog of :func:`write_index_iceberg`: the
+    same bucket-by-term layout through plain Parquet ``bucketBy`` managed
+    tables, which the session catalog supports with no extra jar. Hash-bucketed
+    on the join/agg keys (postings/blocks by term, docs by doc_id), so
+    term-equality lookups bucket-prune (``SelectedBucketsCount`` in the scan)
+    and term-keyed aggregations need no exchange. Engine scalars ride on the
+    postings table's TBLPROPERTIES exactly as the Iceberg path stores them.
+
+    Unlike Iceberg's ``bucket(B, term)`` transform this is Spark's own bucketed
+    format (metastore-described, not snapshot-versioned) — the layout contract
+    (co-located terms, pruned lookups) is identical, which is what SCALE.md's
+    bucket-pruning claim needs executed evidence for in this jar-less sandbox.
+    """
+    spark = idx.postings.sparkSession
+    (
+        idx.postings.write.bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    idx.terms.write.format("parquet").mode("overwrite").saveAsTable(f"{table_prefix}_terms")
+    (
+        idx.docs.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_docs")
+    )
+    if idx.blocks is not None:
+        (
+            idx.blocks.write.bucketBy(n_buckets, "term")
+            .sortBy("term")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(f"{table_prefix}_blocks")
+        )
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_postings SET TBLPROPERTIES ("
+        f"'engine.n_docs'='{idx.n_docs}', 'engine.avgdl'='{idx.avgdl}', "
+        f"'engine.k1'='{idx.cfg.k1}', 'engine.b'='{idx.cfg.b}', "
+        f"'engine.has_blocks'='{idx.blocks is not None}')"
+    )
+
+
+def load_index_bucketed(
+    spark: SparkSession, table_prefix: str, cfg: EngineConfig | None = None
+) -> InvertedIndex:
+    """Rehydrate an :class:`InvertedIndex` from :func:`write_index_bucketed`
+    tables. Scans inherit the bucket spec, so downstream term-keyed joins/aggs
+    skip the shuffle and term-equality filters bucket-prune."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_postings").collect()
+    }
+    cfg = cfg or DEFAULT_CONFIG
+    blocks = None
+    if props.get("engine.has_blocks") == "True":
+        blocks = spark.table(f"{table_prefix}_blocks")
+    return InvertedIndex(
+        postings=spark.table(f"{table_prefix}_postings"),
+        terms=spark.table(f"{table_prefix}_terms"),
+        docs=spark.table(f"{table_prefix}_docs"),
+        n_docs=int(props["engine.n_docs"]),
+        avgdl=float(props["engine.avgdl"]),
+        cfg=cfg,
+        blocks=blocks,
+    )
+
+
 def write_postings_bucketed(
     postings: DataFrame, path: str, n_buckets: int = 32
 ) -> None:

@@ -125,18 +125,24 @@ def main() -> int:
         "rounds": cc_stats.get("rounds"),
         "sec": round(time.monotonic() - t0, 1),
     }
-    got_xx = {(r["doc_id"], r["cluster_id"]) for r in clusters.collect()}
+    vx = {(r["doc_a"], r["doc_b"]): float(r["jaccard_r"]) for r in verified.collect()}
     print(json.dumps({"stage": "cc", **out["cc"]}), flush=True)
     verified.unpersist()
 
     out["total_sec"] = round(time.monotonic() - t_all, 1)
 
     # ---- md5 comparison arm (one-time, VERDICT r3 #6): the oracle slices keep
-    # the md5 family for DuckDB parity; assert the two families converge to the
-    # SAME verified near-dup clusters at this scale. LSH candidates may differ
-    # per family near the banding threshold, so equality is asserted at the
-    # cluster level (post-Jaccard-verify, post-CC); any symmetric difference is
-    # reported before the assert fires.
+    # the md5 family for DuckDB parity; the swap claim is that numeric-min over
+    # xxhash64 is an equivalent MinHash family. LSH banding detection is
+    # PROBABILISTIC per family near the Jaccard threshold (P(candidate|J) =
+    # 1-(1-J^r)^b ~ 6% at J=0.5, 95% at J=0.8 for b=16,r=8), so the two
+    # families may each surface a few borderline true pairs the other misses —
+    # first measured r4 at 1M docs: 3 md5-only + 3 xxhash64-only of 7,980.
+    # False positives are impossible (every pair is exact-Jaccard verified), so
+    # the correct equivalence evidence is: (a) verified-pair overlap >= 99.5%,
+    # (b) every family-unique pair is a genuinely borderline J (< 0.9 — a
+    # high-J pair missed by either family would indicate a broken hash family,
+    # since P(miss|J=0.9) ~ 1e-4).
     t0 = time.monotonic()
     bands_md5 = minhash_bands(tok, hash_family="md5").persist()
     bands_md5.count()
@@ -145,21 +151,23 @@ def main() -> int:
     n_pairs_md5 = pairs_md5.count()
     bands_md5.unpersist()
     verified_md5 = jaccard_verify(sh, pairs_md5, threshold=0.5).persist()
-    clusters_md5 = connected_components(verified_md5)
-    got_md5 = {(r["doc_id"], r["cluster_id"]) for r in clusters_md5.collect()}
-    only_md5, only_xx = got_md5 - got_xx, got_xx - got_md5
+    vm = {(r["doc_a"], r["doc_b"]): float(r["jaccard_r"]) for r in verified_md5.collect()}
+    only_md5 = {k: vm[k] for k in vm.keys() - vx.keys()}
+    only_xx = {k: vx[k] for k in vx.keys() - vm.keys()}
+    overlap = len(vm.keys() & vx.keys()) / max(len(vm), len(vx), 1)
     out["family_compare"] = {
         "md5_sig_sec": round(t_md5_sig, 1),
         "md5_candidate_pairs": n_pairs_md5,
-        "clusters_only_md5": len(only_md5),
-        "clusters_only_xxhash64": len(only_xx),
-        "equal": not only_md5 and not only_xx,
+        "verified_pairs_md5": len(vm),
+        "verified_pairs_xxhash64": len(vx),
+        "pair_overlap": round(overlap, 5),
+        "pairs_only_md5": sorted([[a, b, j] for (a, b), j in only_md5.items()]),
+        "pairs_only_xxhash64": sorted([[a, b, j] for (a, b), j in only_xx.items()]),
     }
     print(json.dumps({"stage": "family_compare", **out["family_compare"]}), flush=True)
-    if only_md5 or only_xx:
-        print("DIFF md5-only:", sorted(only_md5)[:20], flush=True)
-        print("DIFF xxhash64-only:", sorted(only_xx)[:20], flush=True)
-    assert not only_md5 and not only_xx, "hash families disagree on clusters"
+    assert overlap >= 0.995, f"family pair overlap {overlap:.4%}"
+    bad = {k: j for k, j in {**only_md5, **only_xx}.items() if j >= 0.9}
+    assert not bad, f"high-J pairs missed by one family: {bad}"
     verified_md5.unpersist()
     pairs_md5.unpersist()
     tok.unpersist()

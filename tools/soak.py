@@ -111,10 +111,77 @@ def main() -> int:
         synth_transcripts(spark, n_turns // 10, 10), with_ordinals=True, with_blocks=True
     )
     hi = n_turns // 10 + n_turns // 200
-    delta = synth_transcripts(spark, hi, 10).filter(f"conv_id >= 'conv-{n_turns // 10:06d}'")
+    # numeric compare: conv_id is 'conv-%06d', which grows to 7+ digits past
+    # 10^6 convs — a lexicographic >= would wrongly include base convs whose
+    # leading digit exceeds the bound's (harmless under the idempotent merge,
+    # but the delta would silently be ~80% of the corpus instead of 5%)
+    delta = synth_transcripts(spark, hi, 10).filter(
+        f"CAST(substr(conv_id, 6) AS BIGINT) >= {n_turns // 10}"
+    )
     merged = merge_delta(spark, base, delta)
     _assert_identical(
         spark, merged, {1: "spark shuffle partition", 2: "the index"}, "post-merge", results
+    )
+
+    # 4. compaction policy at soak scale (VERDICT r3 #8): drive K consecutive
+    # ε-drift merges on the SKEWED corpus (the pruning regime), watch the kept
+    # terms' inflated bounds erode WAND's pruning fraction, then compact and
+    # assert the fraction recovers to the fresh-build level. Each delta is
+    # ~0.4% of the corpus so every merge stays under merge_drift_eps and keeps
+    # inflated bounds (kept_bounds=True — the inflation actually compounds).
+    from bge_m3_onnx_spark.config import DEFAULT_CONFIG
+    from bge_m3_onnx_spark.streaming.incremental import compact_index
+
+    probe = {1: "the", 2: "the spark checkpoint"}
+    k_merges = DEFAULT_CONFIG.compact_every_merges
+
+    def pruning_fraction(ix, label):
+        st: dict = {}
+        run_queries_wand(spark, ix, probe, k=10, force_wand=True, stats_out=st).collect()
+        frac = st["blocks_surviving"] / max(st["blocks_total"], 1)
+        print(f"  {label}: {st['blocks_surviving']}/{st['blocks_total']} = {frac:.4f}")
+        return frac, st
+
+    n_base_convs = n_turns // 10
+    cur = build_index(
+        synth_transcripts_skewed(spark, n_base_convs, 10), with_ordinals=True, with_blocks=True
+    )
+    frac_fresh, _ = pruning_fraction(cur, "fresh build")
+    delta_convs = max(n_base_convs // 250, 100)
+    t0 = time.monotonic()
+    for m in range(k_merges):
+        lo = n_base_convs + m * delta_convs
+        d = synth_transcripts_skewed(spark, lo + delta_convs, 10).filter(
+            f"CAST(substr(conv_id, 6) AS BIGINT) >= {lo}"
+        )
+        prev = cur
+        cur = merge_delta(spark, prev, d)
+        assert cur.blocks is not None
+        for fr in (prev.postings, prev.docs):
+            fr.unpersist()
+    t_merges = time.monotonic() - t0
+    assert cur.merges_since_compaction == k_merges, cur.merges_since_compaction
+    frac_merged, _ = pruning_fraction(cur, f"after {k_merges} merges")
+    _assert_identical(spark, cur, probe, f"after {k_merges} e-drift merges", results)
+    t0 = time.monotonic()
+    compacted = compact_index(cur)
+    frac_compacted, _ = pruning_fraction(compacted, "post-compaction")
+    t_compact = time.monotonic() - t0
+    assert compacted.merges_since_compaction == 0
+    _assert_identical(spark, compacted, probe, "post-compaction", results)
+    # recovery: compaction must close most of the merge-era pruning regression.
+    # (fraction = blocks surviving the bound filter; lower is better pruning)
+    assert frac_compacted <= frac_fresh * 1.05 + 1e-9, (frac_fresh, frac_merged, frac_compacted)
+    results.append(
+        {
+            "check": f"compaction recovery after {k_merges} merges",
+            "status": "PASS",
+            "pruning_fraction_fresh": round(frac_fresh, 4),
+            "pruning_fraction_after_merges": round(frac_merged, 4),
+            "pruning_fraction_post_compaction": round(frac_compacted, 4),
+            "merges_sec": round(t_merges, 1),
+            "compact_sec": round(t_compact, 1),
+        }
     )
 
     spark.stop()
