@@ -157,6 +157,10 @@ def main() -> int:
         prev = cur
         cur = merge_delta(spark, prev, d)
         assert cur.blocks is not None
+        # materialize each merge (what a serving system does): without this the
+        # persisted-but-never-actioned chain makes the final probe recompute an
+        # 8-deep union-groupBy lineage in one go
+        cur.postings.count()
         for fr in (prev.postings, prev.docs):
             fr.unpersist()
     t_merges = time.monotonic() - t0
