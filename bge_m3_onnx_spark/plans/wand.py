@@ -86,6 +86,65 @@ from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 _BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"]
 
 
+def _phase2_driver(
+    blk_lists: dict[str, list[tuple[int, float]]],
+    range_by_term: dict[str, int],
+    terms_by_qid: dict[int, list[str]],
+    theta: dict[int, float],
+    ess_by_qid: dict[int, list[str]],
+) -> dict[str, list[int]]:
+    """Phase 2 (ordinal-aligned segment pruning) computed on the driver.
+
+    Same semantics as the distributed branch (see the phase-2 comment in
+    ``_run_queries_wand_forced``): for each query, candidate boundaries are the
+    block starts of its terms; the metadata upper bound at boundary x is
+    Σ_t block_max(t, x // range_t) (terms with no block at x contribute 0); a
+    segment survives iff its bound clears θ (1e-6 pad — only ADMITS blocks,
+    lossless); the surviving block keys are the ESSENTIAL terms' blocks at the
+    surviving boundaries, restricted to blocks that exist. Inputs are the rows
+    already fused into the θ collect — Σ_t n_blocks(t) metadata rows, gated by
+    the caller to stay driver-sized. Term iteration is sorted so the float
+    accumulation order is deterministic run-to-run.
+
+    Returns {term: sorted surviving block_ids} unioned across queries."""
+    import numpy as np
+
+    arrs: dict[str, tuple] = {}
+    for t, pairs in blk_lists.items():
+        pairs.sort()
+        arrs[t] = (
+            np.array([b for b, _ in pairs], dtype=np.int64),
+            np.array([m for _, m in pairs], dtype=np.float64),
+        )
+    keys: dict[str, set] = {}
+    for qid, qterms in sorted(terms_by_qid.items()):
+        th = theta.get(qid, float("-inf"))
+        ts = sorted(t for t in set(qterms) if t in arrs)
+        if not ts:
+            continue
+        xs = np.unique(
+            np.concatenate([arrs[t][0] * int(range_by_term[t]) for t in ts])
+        )
+        s = np.zeros(len(xs), dtype=np.float64)
+        for t in ts:
+            bids, bms = arrs[t]
+            q = xs // int(range_by_term[t])
+            pos = np.minimum(np.searchsorted(bids, q), len(bids) - 1)
+            s += np.where(bids[pos] == q, bms[pos], 0.0)
+        surv_x = xs[s >= th - 1e-6]
+        if not len(surv_x):
+            continue
+        for t in ess_by_qid.get(qid, []):
+            if t not in arrs:
+                continue
+            bids, _ = arrs[t]
+            q = np.unique(surv_x // int(range_by_term[t]))
+            pos = np.minimum(np.searchsorted(bids, q), len(bids) - 1)
+            exist = q[bids[pos] == q]
+            keys.setdefault(t, set()).update(int(v) for v in exist)
+    return {t: sorted(v) for t, v in keys.items()}
+
+
 def run_queries_wand(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -364,14 +423,44 @@ def _run_queries_wand_forced(
             F.col("tmax").alias("v1"),
             F.col("rng").alias("v2"),
         )
+        # ---- driver-side phase 2 gate (r4) ----
+        # Phase 2 is pure metadata math over Σ_t n_blocks(t) rows — bounded and
+        # driver-estimable BEFORE the collect (df is known; block_range_for_term
+        # is the deterministic cut rule; merges can keep older/smaller stored
+        # ranges, so this is an order-of-magnitude gate, not an exact count).
+        # When it fits, the per-block metadata rides the SAME tagged-union
+        # collect as θ and phase 2 runs in NumPy on the driver: the r4 profile
+        # showed the distributed phase-2/3 tree cost ~2.9 s of pure Catalyst
+        # planning plus ~10 broadcast-exchange subjobs per batch — none of
+        # which touches data that isn't already driver-sized.
+        _est_blocks = sum(
+            -(-d // max(cfg.block_range_for_term(d, n), 1)) for d in _df_by_term.values()
+        )
+        _PHASE2_DRIVER_CAP = 200_000
+        _driver_phase2 = _est_blocks <= _PHASE2_DRIVER_CAP
+        union_rows = theta_rows.unionByName(meta_rows)
+        if _driver_phase2:
+            block_rows = qmeta.select(
+                F.lit("block").alias("tag"),
+                F.lit(None).cast("long").alias("qid"),
+                "term",
+                F.col("block_max_score").alias("v1"),
+                F.col("block_id").cast("long").alias("v2"),
+            )
+            union_rows = union_rows.unionByName(block_rows)
         _t0_theta = time.monotonic()
-        collected = theta_rows.unionByName(meta_rows).collect()
+        collected = union_rows.collect()
         _t_theta = time.monotonic() - _t0_theta
         _t0_final = time.monotonic()
         seed_sel.unpersist()
         theta = {int(r["qid"]): r["v1"] for r in collected if r["tag"] == "theta"}
         tmax = {r["term"]: r["v1"] for r in collected if r["tag"] == "meta"}
         range_by_term = {r["term"]: int(r["v2"]) for r in collected if r["tag"] == "meta"}
+        _blk_lists: dict[str, list[tuple[int, float]]] = {}
+        if _driver_phase2:
+            for r in collected:
+                if r["tag"] == "block":
+                    _blk_lists.setdefault(r["term"], []).append((int(r["v2"]), float(r["v1"])))
 
         # ---- phase 2: ordinal-aligned segment pruning (exact, lossless) ----
         # Every term's blocks TILE the doc-ordinal axis (block_id = ord // range), so
@@ -394,9 +483,6 @@ def _run_queries_wand_forced(
                 [],
                 "query_id int, rank int, doc_id string, score double",
             )
-        range_map = F.create_map(
-            *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
-        )
         theta_map = F.create_map(
             *[
                 x
@@ -404,67 +490,71 @@ def _run_queries_wand_forced(
                 for x in (F.lit(int(qid)), F.lit(float(theta.get(qid, float("-inf")))))
             ]
         )
-        block_meta = qmeta.select(
-            "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
-        )
-        # distinct segment boundaries per query (starts of any query term's blocks),
-        # PRE-FILTERED by the classic bound before the ×|q| fan-out (r2 advisor: a
-        # stopword term contributes millions of boundaries, and expanding every one
-        # against every query term made the metadata job O(|boundaries|·|q|)).
-        # For a boundary x contributed by term t:
-        #     s_q(x) ≤ block_max(t, x) + Σ_{t'≠t} global_max(t')   (classic bound)
-        # so s_q(x) ≥ θ implies EVERY contributing term's classic bound clears θ —
-        # filtering on min(classic) ≥ θ is lossless and removes the fan-out for
-        # segments only a weak stopword block opened.
-        tmax_map = F.create_map(
-            *[x for t, m in sorted(tmax.items()) for x in (F.lit(t), F.lit(float(m)))]
-        )
-        qsum = {
-            qid: sum(tmax.get(t, 0.0) for q2, t, _ in qt_stats_rows if q2 == qid)
-            for qid in sorted({q for q, _, _ in qt_stats_rows})
-        }
-        qsum_map = F.create_map(
-            *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
-        )
-        bounds = (
-            block_meta.select(
-                "term",
-                "x",
-                "block_max_score",
-                F.explode(F.element_at(all_qids_map, F.col("term"))).alias("query_id"),
+        if not _blk_lists:
+            range_map = F.create_map(
+                *[x for t, r in sorted(range_by_term.items()) for x in (F.lit(t), F.lit(int(r)))]
             )
-            .groupBy("query_id", "x")
-            .agg(
-                F.min(
-                    F.col("block_max_score")
-                    + F.element_at(qsum_map, F.col("query_id"))
-                    - F.element_at(tmax_map, F.col("term"))
-                ).alias("classic_bound")
+            block_meta = qmeta.select(
+                "term", "block_id", (F.col("block_id") * F.col("block_range")).alias("x"), "block_max_score"
             )
-            .filter(F.col("classic_bound") >= F.element_at(theta_map, F.col("query_id")))
-            .select("query_id", "x")
-        )
-        # active block of EVERY query term at each boundary; inner join drops terms
-        # with no block there (they contribute 0 to the sum — correct)
-        active = (
-            bounds.select(
-                "query_id", "x", F.explode(F.element_at(q2terms_lit, F.col("query_id"))).alias("term")
+            # distinct segment boundaries per query (starts of any query term's blocks),
+            # PRE-FILTERED by the classic bound before the ×|q| fan-out (r2 advisor: a
+            # stopword term contributes millions of boundaries, and expanding every one
+            # against every query term made the metadata job O(|boundaries|·|q|)).
+            # For a boundary x contributed by term t:
+            #     s_q(x) ≤ block_max(t, x) + Σ_{t'≠t} global_max(t')   (classic bound)
+            # so s_q(x) ≥ θ implies EVERY contributing term's classic bound clears θ —
+            # filtering on min(classic) ≥ θ is lossless and removes the fan-out for
+            # segments only a weak stopword block opened.
+            tmax_map = F.create_map(
+                *[x for t, m in sorted(tmax.items()) for x in (F.lit(t), F.lit(float(m)))]
             )
-            .select(
-                "query_id",
-                "x",
-                "term",
-                F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
-                .cast("long")
-                .alias("block_id"),
+            qsum = {
+                qid: sum(tmax.get(t, 0.0) for q2, t, _ in qt_stats_rows if q2 == qid)
+                for qid in sorted({q for q, _, _ in qt_stats_rows})
+            }
+            qsum_map = F.create_map(
+                *[x for qid, s in sorted(qsum.items()) for x in (F.lit(int(qid)), F.lit(float(s)))]
             )
-            .join(block_meta.select("term", "block_id", "block_max_score"), ["term", "block_id"])
-        )
-        surviving_x = (
-            active.groupBy("query_id", "x")
-            .agg(F.sum("block_max_score").alias("s"))
-            .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
-        )
+            bounds = (
+                block_meta.select(
+                    "term",
+                    "x",
+                    "block_max_score",
+                    F.explode(F.element_at(all_qids_map, F.col("term"))).alias("query_id"),
+                )
+                .groupBy("query_id", "x")
+                .agg(
+                    F.min(
+                        F.col("block_max_score")
+                        + F.element_at(qsum_map, F.col("query_id"))
+                        - F.element_at(tmax_map, F.col("term"))
+                    ).alias("classic_bound")
+                )
+                .filter(F.col("classic_bound") >= F.element_at(theta_map, F.col("query_id")))
+                .select("query_id", "x")
+            )
+            # active block of EVERY query term at each boundary; inner join drops terms
+            # with no block there (they contribute 0 to the sum — correct)
+            active = (
+                bounds.select(
+                    "query_id", "x", F.explode(F.element_at(q2terms_lit, F.col("query_id"))).alias("term")
+                )
+                .select(
+                    "query_id",
+                    "x",
+                    "term",
+                    F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+                    .cast("long")
+                    .alias("block_id"),
+                )
+                .join(block_meta.select("term", "block_id", "block_max_score"), ["term", "block_id"])
+            )
+            surviving_x = (
+                active.groupBy("query_id", "x")
+                .agg(F.sum("block_max_score").alias("s"))
+                .filter(F.col("s") >= F.element_at(theta_map, F.col("query_id")))
+            )
         # ---- MaxScore essential-term partition (driver-side, from θ + tmax) ----
         # Sort each query's terms by global max ascending; the maximal prefix whose
         # cumulative Σtmax stays BELOW θ is NON-ESSENTIAL: those terms alone cannot
@@ -555,19 +645,64 @@ def _run_queries_wand_forced(
         # back to block keys: the boundary x lies in block x // range_t of each
         # ESSENTIAL term (candidate sources; non-essential blocks are never
         # candidate sources — see the MaxScore argument above)
-        surviving_keys = (
-            surviving_x.select(
-                "x", F.explode(F.element_at(q2ess_terms_lit, F.col("query_id"))).alias("term")
+        if _blk_lists:
+            # ---- phase 2 on the driver (NumPy over the collected metadata) ----
+            # Semantics identical to the distributed branch below: per query,
+            # boundaries = block starts of its terms; upper bound at x =
+            # Σ_t block_max(t, x // range_t); blocks of ESSENTIAL terms that
+            # overlap a surviving segment are candidate sources. The surviving
+            # filter carries a 1e-6 pad (admits blocks — lossless; the
+            # distributed sum's order is nondeterministic at the same ulp).
+            surv_by_term = _phase2_driver(
+                _blk_lists, range_by_term, _terms_by_qid, theta, _ess_by_qid
             )
-            .select(
-                "term",
-                F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
-                .cast("long")
-                .alias("block_id"),
+            _n_keys = sum(len(v) for v in surv_by_term.values())
+            # literal-IN only while the predicate stays small: a measured 15k-key
+            # isin (unprunable stopword batch) bloated every task binary to ~1MB
+            # and wrecked codegen — past the cap a broadcast semi-join against a
+            # driver-built relation is one cheap subjob instead.
+            if _n_keys <= 2_000:
+                # literal IN-filters on the cached qblocks: no join, no
+                # broadcast-exchange subjob, tiny plan tree
+                _surv_expr = F.lit(False)
+                for _t2, _ids in sorted(surv_by_term.items()):
+                    _surv_expr = _surv_expr | (
+                        (F.col("term") == F.lit(_t2)) & F.col("block_id").isin(_ids)
+                    )
+                surviving = qblocks.filter(_surv_expr)
+
+                def _not_surv(df_: DataFrame) -> DataFrame:
+                    return df_.filter(~_surv_expr)
+
+            else:
+                _sk = spark.createDataFrame(
+                    [(t2, int(b2)) for t2, ids2 in sorted(surv_by_term.items()) for b2 in ids2],
+                    "term string, block_id long",
+                )
+                surviving = qblocks.join(F.broadcast(_sk), ["term", "block_id"], "left_semi")
+
+                def _not_surv(df_: DataFrame) -> DataFrame:
+                    return df_.join(F.broadcast(_sk), ["term", "block_id"], "left_anti")
+
+        else:
+            surviving_keys = (
+                surviving_x.select(
+                    "x", F.explode(F.element_at(q2ess_terms_lit, F.col("query_id"))).alias("term")
+                )
+                .select(
+                    "term",
+                    F.floor(F.col("x") / F.element_at(range_map, F.col("term")))
+                    .cast("long")
+                    .alias("block_id"),
+                )
+                .dropDuplicates(["term", "block_id"])
             )
-            .dropDuplicates(["term", "block_id"])
-        )
-        surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
+            surviving = qblocks.join(surviving_keys, ["term", "block_id"], "left_semi")
+
+            def _not_surv(df_: DataFrame) -> DataFrame:
+                return df_.join(
+                    surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
+                )
 
         # ---- phase 3a: candidates + exact ESSENTIAL score ----
         # decoded is persisted: it feeds the candidate derivation AND is REUSED as
@@ -598,9 +733,7 @@ def _run_queries_wand_forced(
             )
             .dropDuplicates(["term", "block_id"])
         )
-        extra_ess = qblocks.join(needed_ess, ["term", "block_id"], "left_semi").join(
-            surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
-        )
+        extra_ess = _not_surv(qblocks.join(needed_ess, ["term", "block_id"], "left_semi"))
         full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
         _persisted.append(full_ess)
         s_ess = _score_decoded_lit(
@@ -643,14 +776,12 @@ def _run_queries_wand_forced(
                 .dropDuplicates(["term", "block_id"])
             )
             # a term can be essential for one query and non-essential for another —
-            # the anti-join against EVERYTHING already decoded keeps postings
-            # duplicate-free (a duplicated posting would double-count in the fold)
-            decoded_keys = surviving.select("term", "block_id").unionByName(
-                extra_ess.select("term", "block_id")
-            )
-            non_blocks = qblocks.join(needed_non, ["term", "block_id"], "left_semi").join(
-                decoded_keys, ["term", "block_id"], "left_anti"
-            )
+            # excluding EVERYTHING already decoded (surviving via _not_surv,
+            # extras via the anti-join) keeps postings duplicate-free (a
+            # duplicated posting would double-count in the fold)
+            non_blocks = _not_surv(
+                qblocks.join(needed_non, ["term", "block_id"], "left_semi")
+            ).join(extra_ess.select("term", "block_id"), ["term", "block_id"], "left_anti")
             full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
             scored = _score_decoded_lit(
                 full.join(strong.select("doc_ord").distinct(), "doc_ord"), all_qids_map
