@@ -62,17 +62,29 @@ class EngineConfig:
     # decode work than the round-trips cost. At 10^12 turns any stopword query
     # clears this instantly; small/selective queries take the one-job exact plan.
     #
-    # CALIBRATED r3 (tools/wand_calibrate.py, WAND_CAL_r03.json, 10M-turn skewed
-    # corpus on local[32]): exact scans ~2M postings/s (4.1 s at Σdf 8.45M) and
-    # WAND's machinery is a ~10-25 s per-query CONSTANT (driver planning +
-    # broadcast-exchange round trips — corpus-size-invariant; the pruned decode
-    # itself is tiny: 443/66,226 blocks for "the"). Exact therefore won every
-    # measured point up to Σdf 36M; the r2 value (2M, a guess) would have fired
-    # WAND ~15x too early. Break-even = machinery_sec x scan_rate ≈ 12 x 2.5M
-    # ≈ 30M postings. On a real cluster both sides scale: scan rate grows with
-    # executors while the machinery constant stays flat, so at 10^12 turns a
-    # stopword query (Σdf ~10^11 ≫ threshold) correctly takes the WAND path.
-    wand_route_min_postings: int = 30_000_000
+    # RE-CALIBRATED r4 (tools/wand_calibrate.py, WAND_CAL_r04.json, 10M-turn
+    # skewed corpus on local[32]) after the literal-map + driver-side phase-2
+    # rework cut WAND's per-query machinery from ~10-25 s (r3) to ~1.5-3 s:
+    # "the" now runs 5.99 s vs exact 5.45 s (0.91x) where r3 measured ~15 s.
+    # Exact fits exact_sec ≈ 2.6 s + Σdf/2.7M; WAND on PRUNABLE shapes is
+    # ~6-7 s nearly flat (decode is 443/66,226 blocks for "the"), so the two
+    # lines cross at Σdf ≈ 10-12M. 12M is just above the largest measured
+    # exact-wins prunable point (8.7M at 0.84-0.91x). On a real cluster the
+    # exact side's slope grows with corpus/executor ratio while WAND stays
+    # flat, so at 10^12 turns any stopword query (Σdf ~10^11) takes WAND.
+    wand_route_min_postings: int = 12_000_000
+    # Prunability gate (r4): WAND only beats exact when the score mass is
+    # CONCENTRATED in one term — θ then dominates the other terms' block
+    # maxima and phases 2/3 skip almost everything. The measured signal is
+    # residual df = Σdf - max-term df, free on the driver from the df memo:
+    #   prunable (WAND 0.84-0.91x): "the"/"of" (residual 0),
+    #     "iceberg3 the" (2.8%), "iceberg3 of" (3.6%)
+    #   unprunable (WAND 0.13-0.48x): "spark3 iceberg7 the" (11.8%, 69k extra
+    #     blocks decoded), "a to and of" (77%, 73% of blocks survive θ)
+    # Queries whose residual fraction exceeds this stay on the exact path
+    # regardless of Σdf — for multi-hot-term queries pruning NEVER recoups
+    # machinery at any corpus size (the surviving fraction is scale-invariant).
+    wand_route_max_residual_frac: float = 0.05
 
     def block_range_for_term(self, df: int, n_docs: int) -> int:
         """Doc-ordinal span per block so a term with document frequency ``df`` over

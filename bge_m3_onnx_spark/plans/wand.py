@@ -179,10 +179,31 @@ def run_queries_wand(
         for t in sorted(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
         if t in df_map
     ]
-    # ---- routing: Σ df is the exact path's scan size; if it's small, pruning
-    # cannot recoup WAND's extra driver round-trips — take the one-job plan.
+    # ---- routing (calibrated, WAND_CAL_r04.json): take the exact one-job plan
+    # unless BOTH hold —
+    #   (a) Σdf ≥ wand_route_min_postings: below the measured ~10-12M crossover
+    #       pruning cannot recoup WAND's machinery constant;
+    #   (b) every query in the batch is PRUNABLE-shaped: residual df
+    #       (Σdf - heaviest term's df, per query) ≤ 5% of the query's Σdf.
+    #       Multi-hot-term queries keep ~73% of blocks above θ at every corpus
+    #       size (measured: "a to and of" 0.32x, "the a to and of" 0.13x, and
+    #       69k extra non-essential blocks decoded for "spark3 iceberg7 the") —
+    #       those shapes NEVER benefit, so Σdf alone must not route them here.
     # (force_wand exists for tests/bench that measure the pruning machinery.)
-    if not force_wand and sum(r["df"] for r in qt_rows) < cfg.wand_route_min_postings:
+    def _batch_prunable() -> bool:
+        by_q: dict[int, list[int]] = {}
+        for r in qt_rows:
+            by_q.setdefault(r["query_id"], []).append(r["df"])
+        return all(
+            sum(dfs) - max(dfs) <= cfg.wand_route_max_residual_frac * sum(dfs)
+            for dfs in by_q.values()
+            if sum(dfs) > 0
+        )
+
+    if not force_wand and (
+        sum(r["df"] for r in qt_rows) < cfg.wand_route_min_postings
+        or not _batch_prunable()
+    ):
         from bge_m3_onnx_spark.plans.query import run_queries
 
         if stats_out is not None:

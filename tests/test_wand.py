@@ -94,12 +94,35 @@ def test_wand_routes_small_queries_to_exact(spark, built, query_set):
     routed = _collect(run_queries_wand(spark, built, subset, k=5))
     exact = _collect(run_queries(spark, built, subset, k=5))
     assert routed == exact
-    # and with the threshold at 0 the machinery path runs — same results.
-    cfg0 = dataclasses.replace(built.cfg, wand_route_min_postings=0)
+    # and with both routing gates open the machinery path runs — same results.
+    cfg0 = dataclasses.replace(
+        built.cfg, wand_route_min_postings=0, wand_route_max_residual_frac=1.0
+    )
     machinery = _collect(run_queries_wand(spark, built, subset, k=5, cfg=cfg0))
     assert [(r, d) for v in machinery.values() for r, d, _ in v] == [
         (r, d) for v in exact.values() for r, d, _ in v
     ]
+
+
+def test_wand_routes_unprunable_shapes_to_exact(spark, built, query_set):
+    """Residual-df gate (WAND_CAL_r04): a multi-hot-term query keeps most
+    blocks above θ at every corpus size, so even above the Σdf threshold the
+    router must send it to the exact plan; a concentrated (single-hot-term)
+    query with the same Σdf stays on the WAND path."""
+    import dataclasses
+
+    cfg0 = dataclasses.replace(built.cfg, wand_route_min_postings=0)
+    stats: dict = {}
+    # fixture query 2 is multi-term over a tiny corpus — every term carries
+    # comparable df, residual ≫ 5% → routed (exact) despite min_postings=0.
+    res = run_queries_wand(spark, built, {1: query_set[2]}, k=5, cfg=cfg0, stats_out=stats)
+    res.collect()
+    assert stats["routed"] is True
+    # a single-term query has residual 0 → prunable → machinery runs.
+    stats2: dict = {}
+    res2 = run_queries_wand(spark, built, {1: "the"}, k=5, cfg=cfg0, stats_out=stats2)
+    res2.collect()
+    assert stats2["routed"] is False
 
 
 def test_wand_scores_bit_identical_to_exact(spark):

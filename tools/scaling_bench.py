@@ -11,6 +11,15 @@ SCALE.md):
   multiprocessing burn (no Spark) measures the box's OWN scaling ceiling at the
   same two levels; engine efficiency is reported raw AND normalized to that
   ceiling — a real 4× cluster has no such shared-socket ceiling.
+* **CPU pinning (r4).** Each level is bound to exactly N CPUs with
+  ``taskset -c 0-(N-1)``. Without this, the "N-core" level is only N *task
+  slots*: the JVM's GC threads (sized from the 32 visible CPUs), the shuffle
+  and netty pools, and the pyspark daemon all borrow idle cores, inflating
+  the low level's throughput and depressing measured efficiency — an
+  N-executor cluster has no 30 spare cores to borrow. JDK 17 sizes its
+  thread pools from the affinity mask, so pinning bounds the JVM too. The
+  pure-CPU control is pinned to the same CPU sets (sched_setaffinity) so
+  the ceiling is measured under identical constraints.
 * Default window N=4 → 4N=16 cores, where the box's ceiling is ~0.9.
 
 Each level runs in its own subprocess (a JVM can't change master in-process).
@@ -71,10 +80,19 @@ def _burn(n: int) -> int:
     return s
 
 
+def _pin_worker(cpus: "set[int]") -> None:
+    os.sched_setaffinity(0, cpus)
+
+
 def machine_ceiling(n_low: int, n_high: int, per_task: int = 3_000_000, tasks: int = 48) -> float:
-    """Pure-CPU (no Spark) speedup of this box from n_low → n_high workers."""
+    """Pure-CPU (no Spark) speedup of this box from n_low → n_high workers.
+
+    Workers are pinned to CPUs 0..n-1 — the same sets the engine levels run
+    on — so the ceiling reflects the identical placement constraints.
+    """
     def measure(workers: int) -> float:
-        with mp.Pool(workers) as p:
+        cpu_set = set(range(workers))
+        with mp.Pool(workers, initializer=_pin_worker, initargs=(cpu_set,)) as p:
             p.map(_burn, [per_task] * workers)  # warm
             t0 = time.monotonic()
             p.map(_burn, [per_task] * tasks)
@@ -85,12 +103,15 @@ def machine_ceiling(n_low: int, n_high: int, per_task: int = 3_000_000, tasks: i
     return lo / hi
 
 
-def run_level(cpus: int, n_turns: int, reps: int = 3) -> dict:
+def run_level(cpus: int, n_turns: int, reps: int = 3, pin: bool = True) -> dict:
     script = CHILD.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(n_turns), str(reps)],
-        capture_output=True, text=True, check=True,
-    )
+    cmd = [sys.executable, "-c", script, str(cpus), str(n_turns), str(reps)]
+    if pin:
+        # Bind the whole child tree (python + JVM + pyspark daemons) to exactly
+        # `cpus` CPUs: an N-executor cluster has N cores total, not N task
+        # slots plus idle cores for GC/netty/daemon threads to borrow.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -201,7 +222,11 @@ def main() -> None:
             "parallelism levels on identical input (deterministic synthetic transcripts).\n"
             "Timings are warm best-of-2 per child; levels run in back-to-back PAIRS\n"
             "(VM throughput drifts on a minutes scale); headline = MEDIAN across pairs\n"
-            "of the best control-stable set.\n\n"
+            "of the best control-stable set. Each level is PINNED to exactly N CPUs\n"
+            "(taskset, r4): an N-executor cluster has N cores total, so letting the\n"
+            "low level borrow idle cores for JVM GC / daemon threads (as r2-r3 did)\n"
+            "inflates its throughput and understates true scaling. The pure-CPU\n"
+            "control runs under the same affinity sets.\n\n"
             f"**Headline: raw efficiency {headline['scaling_efficiency_raw']:.3f} "
             f"(normalized {headline['scaling_efficiency_vs_machine']:.3f}) on the "
             f"{headline['n_low']}→{headline['n_high']}-core set.**\n\n"
