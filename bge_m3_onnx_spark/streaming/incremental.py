@@ -104,6 +104,13 @@ def merge_delta(
         blocks, kept_bounds = _merge_blocks(
             idx, delta_postings, postings, terms, n_docs, avgdl, cfg
         )
+        # Persist: blocks are metadata-sized (~block_size-th of the postings),
+        # and every query touches them. Without this a K-deep merge chain keeps
+        # the full union/anti-join lineage live — once the caller unpersists an
+        # ancestor's postings, any probe recomputes K merges from source (at
+        # 10M turns that blew the 300 s broadcast timeout inside a WAND probe;
+        # caught by the r4 soak's compaction check).
+        blocks = blocks.persist()
 
     return InvertedIndex(
         postings=postings,

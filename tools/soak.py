@@ -70,11 +70,37 @@ def _assert_identical(spark, idx, queries, label, results: list):
     )
 
 
+def _flush(json_out, n_turns, results, t_mat=None, done=False):
+    """Write the artifact after every check: a soak that dies mid-run (OOM, VM
+    reap, round cutoff) still leaves the evidence for the checks it passed."""
+    if not json_out:
+        return
+    payload = {
+        "n_turns": n_turns,
+        "invariant": "forced-WAND == exact, bit-identical (rank, doc_id, score)",
+        "checks": results,
+        "complete": done,
+    }
+    if t_mat is not None:
+        payload["materialize_sec"] = round(t_mat, 1)
+    tmp = json_out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, json_out)
+
+
 def main() -> int:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     json_out = sys.argv[2] if len(sys.argv) > 2 else None
     results: list = []
-    spark = get_spark(app_name="soak", master="local[32]", shuffle_partitions=64)
+    # broadcastTimeout: WAND probes against a K-merge index compute metadata
+    # broadcasts over lineage that can exceed the 300 s default on this VM.
+    spark = get_spark(
+        app_name="soak",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={"spark.sql.broadcastTimeout": "1800"},
+    )
 
     # 1. flat corpus through the FULL staged/materialized path
     mat_dir = tempfile.mkdtemp(prefix="soak_idx_")
@@ -93,6 +119,7 @@ def main() -> int:
             f"flat {n_turns} materialized",
             results,
         )
+        _flush(json_out, n_turns, results, t_mat=t_mat)
     finally:
         shutil.rmtree(mat_dir, ignore_errors=True)
 
@@ -103,6 +130,7 @@ def main() -> int:
     _assert_identical(
         spark, skew, {1: "the", 2: "the spark checkpoint", 3: "iceberg"}, f"skewed {n_turns}", results
     )
+    _flush(json_out, n_turns, results)
     for d in (skew.postings, skew.terms, skew.docs, skew.blocks):
         d.unpersist()
 
@@ -122,6 +150,7 @@ def main() -> int:
     _assert_identical(
         spark, merged, {1: "spark shuffle partition", 2: "the index"}, "post-merge", results
     )
+    _flush(json_out, n_turns, results)
 
     # 4. compaction policy at soak scale (VERDICT r3 #8): drive K consecutive
     # ε-drift merges on the SKEWED corpus (the pruning regime), watch the kept
@@ -159,14 +188,19 @@ def main() -> int:
         assert cur.blocks is not None
         # materialize each merge (what a serving system does): without this the
         # persisted-but-never-actioned chain makes the final probe recompute an
-        # 8-deep union-groupBy lineage in one go
+        # 8-deep union-groupBy lineage in one go. Blocks too — they carry their
+        # own union/anti-join lineage over the previous index (r4: leaving them
+        # lazy recomputed the whole chain inside a WAND probe's broadcast job
+        # and hit the 300 s broadcast timeout once ancestors were unpersisted).
         cur.postings.count()
-        for fr in (prev.postings, prev.docs):
+        cur.blocks.count()
+        for fr in (prev.postings, prev.docs) + ((prev.blocks,) if prev.blocks is not None else ()):
             fr.unpersist()
     t_merges = time.monotonic() - t0
     assert cur.merges_since_compaction == k_merges, cur.merges_since_compaction
     frac_merged, _ = pruning_fraction(cur, f"after {k_merges} merges")
     _assert_identical(spark, cur, probe, f"after {k_merges} e-drift merges", results)
+    _flush(json_out, n_turns, results)
     t0 = time.monotonic()
     compacted = compact_index(cur)
     frac_compacted, _ = pruning_fraction(compacted, "post-compaction")
@@ -190,19 +224,8 @@ def main() -> int:
 
     spark.stop()
     print("SOAK: all invariants hold")
+    _flush(json_out, n_turns, results, t_mat=t_mat, done=True)
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump(
-                {
-                    "n_turns": n_turns,
-                    "materialize_sec": round(t_mat, 1),
-                    "invariant": "forced-WAND == exact, bit-identical (rank, doc_id, score)",
-                    "checks": results,
-                    "status": "PASS",
-                },
-                f,
-                indent=1,
-            )
         print(f"wrote {json_out}")
     return 0
 
