@@ -99,7 +99,13 @@ def main() -> int:
         app_name="soak",
         master="local[32]",
         shuffle_partitions=64,
-        extra_conf={"spark.sql.broadcastTimeout": "1800"},
+        extra_conf={
+            "spark.sql.broadcastTimeout": "1800",
+            # real tracebacks if an Arrow kernel worker dies mid-soak (the r4
+            # first attempt only logged "Python worker exited unexpectedly")
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+        },
     )
 
     # 1. flat corpus through the FULL staged/materialized path
@@ -151,6 +157,16 @@ def main() -> int:
         spark, merged, {1: "spark shuffle partition", 2: "the index"}, "post-merge", results
     )
     _flush(json_out, n_turns, results)
+    # drop check-3 caches before the K-merge chain: base+merged together hold
+    # ~2 full postings relations; at 10M turns leaving them cached puts the
+    # executor store within range of OOM once check 4 persists its own chain
+    # (the r4 first attempt died with crashed Python workers in exactly that
+    # probe). unpersist() is a no-op on never-persisted frames.
+    for ixx in (base, merged):
+        for fr in (ixx.postings, ixx.docs, ixx.terms) + (
+            (ixx.blocks,) if ixx.blocks is not None else ()
+        ):
+            fr.unpersist()
 
     # 4. compaction policy at soak scale (VERDICT r3 #8): drive K consecutive
     # ε-drift merges on the SKEWED corpus (the pruning regime), watch the kept
@@ -194,7 +210,9 @@ def main() -> int:
         # and hit the 300 s broadcast timeout once ancestors were unpersisted).
         cur.postings.count()
         cur.blocks.count()
-        for fr in (prev.postings, prev.docs) + ((prev.blocks,) if prev.blocks is not None else ()):
+        for fr in (prev.postings, prev.docs, prev.terms) + (
+            (prev.blocks,) if prev.blocks is not None else ()
+        ):
             fr.unpersist()
     t_merges = time.monotonic() - t0
     assert cur.merges_since_compaction == k_merges, cur.merges_since_compaction
