@@ -115,7 +115,7 @@ def run_level(cpus: int, n_turns: int, reps: int = 3, pin: bool = True) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_pair_set(n_low: int, n_turns: int, n_pairs: int) -> dict:
+def run_pair_set(n_low: int, n_turns: int, n_pairs: int, flush_path: str | None = None) -> dict:
     """One N → 4N pair set: ceiling before/after, ≥2 back-to-back pairs, medians.
 
     Paired design: the VM's throughput drifts on a minutes scale, so each pair
@@ -142,6 +142,12 @@ def run_pair_set(n_low: int, n_turns: int, n_pairs: int) -> dict:
             best_lo = r_lo
         if best_hi is None or r_hi["turns_per_sec"] > best_hi["turns_per_sec"]:
             best_hi = r_hi
+        if flush_path:
+            # a multi-hour pair set that dies mid-run (VM reap, round cutoff)
+            # must still leave its completed pairs as evidence
+            with open(flush_path, "w") as f:
+                json.dump({"n_turns": n_turns, "n_low": n_low, "pairs": pairs,
+                           "ceiling_pre": round(ceiling_pre, 3)}, f)
     ceiling_post = machine_ceiling(n_low, n_high)
     ceiling = (ceiling_pre + ceiling_post) / 2.0
     effs = sorted(p["eff_raw"] for p in pairs)
@@ -201,7 +207,12 @@ def main() -> None:
         # keep the low-core child's wall time bounded: 2-core builds are ~2x
         # slower than 4-core, so the 2→8 set runs at half the turns
         set_turns = n_turns // 2 if n_low == 2 else n_turns
-        sets.append(run_pair_set(n_low, set_turns, n_pairs))
+        sets.append(
+            run_pair_set(
+                n_low, set_turns, n_pairs,
+                flush_path=f"/tmp/scaling_partial_n{n_low}_{set_turns}.json",
+            )
+        )
 
     stable = [s for s in sets if s["control_stable"]]
     headline = max(
