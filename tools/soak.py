@@ -105,6 +105,12 @@ def main() -> int:
             # first attempt only logged "Python worker exited unexpectedly")
             "spark.python.worker.faulthandler.enabled": "true",
             "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            # ContextCleaner's periodic driver GC defaults to 30min — a soak
+            # session accumulates every dead stage's shuffle files for its
+            # whole life. The K-merge chain shuffles full postings per merge
+            # and filled the disk (r4 second attempt: "No space left on
+            # device" at merge ~7). Reclaim dead shuffles on a 60s cadence.
+            "spark.cleaner.periodicGC.interval": "60s",
         },
     )
 
@@ -214,6 +220,9 @@ def main() -> int:
             (prev.blocks,) if prev.blocks is not None else ()
         ):
             fr.unpersist()
+        # the unpersisted ancestor's shuffle files are only deleted once the
+        # driver GCs the JVM-side references — force it so disk stays bounded
+        spark.sparkContext._jvm.System.gc()
     t_merges = time.monotonic() - t0
     assert cur.merges_since_compaction == k_merges, cur.merges_since_compaction
     frac_merged, _ = pruning_fraction(cur, f"after {k_merges} merges")
