@@ -48,14 +48,30 @@ def _key(r):
     return (r["query_id"], r["rank"], r["doc_id"], r["score"])
 
 
-def _cut(df):
-    """Materialize and lineage-truncate a relation; drop the pre-checkpoint
-    cache entry so storage isn't held twice."""
-    if df is None:
-        return None
-    out = df.localCheckpoint(eager=True)
-    df.unpersist()
-    return out
+def _flush_segment(spark, ix, seg_dir):
+    """Materialize a merged index as parquet and rebase its relations on the
+    files — the segment flush a serving system performs per merge.
+
+    Both in-memory lineage cuts failed at 10M scale: count()-materialization
+    keeps every ancestor's shuffle files reachable (disk grows ~10 GB/merge →
+    ENOSPC at merge ~7), and localCheckpoint holds deserialized row blocks in
+    storage memory (two ~90M-row generations + merge execution → 48g heap
+    OOM). Parquet round-trip bounds both: heap holds nothing, disk holds at
+    most two generations (caller deletes the previous one after reload)."""
+    rels = {"postings": ix.postings, "terms": ix.terms, "docs": ix.docs}
+    if ix.blocks is not None:
+        rels["blocks"] = ix.blocks
+    for name, df_ in rels.items():
+        df_.write.mode("overwrite").parquet(os.path.join(seg_dir, name))
+        df_.unpersist()
+    loaded = {name: spark.read.parquet(os.path.join(seg_dir, name)) for name in rels}
+    return dataclasses.replace(
+        ix,
+        postings=loaded["postings"],
+        terms=loaded["terms"],
+        docs=loaded["docs"],
+        blocks=loaded.get("blocks"),
+    )
 
 
 def _assert_identical(spark, idx, queries, label, results: list):
@@ -210,6 +226,7 @@ def main() -> int:
     )
     frac_fresh, _ = pruning_fraction(cur, "fresh build")
     delta_convs = max(n_base_convs // 250, 100)
+    prev_seg_dir: str | None = None
     t0 = time.monotonic()
     for m in range(k_merges):
         lo = n_base_convs + m * delta_convs
@@ -219,27 +236,17 @@ def main() -> int:
         prev = cur
         cur = merge_delta(spark, prev, d)
         assert cur.blocks is not None
-        # materialize each merge AND cut its lineage (what a serving system's
-        # segment flush does). count()-materialization alone is not enough:
-        # the persisted frames still REFERENCE every ancestor's shuffle
-        # dependencies, so no merge's shuffle files are ever GC-eligible and
-        # disk grows ~10 GB per merge (r4 third attempt died at merge ~7 with
-        # "No space left on device"). localCheckpoint(eager) rebases each
-        # relation onto its materialized blocks, making the whole ancestor
-        # shuffle chain unreachable for the 60s periodic cleaner.
-        cur = dataclasses.replace(
-            cur,
-            postings=_cut(cur.postings),
-            terms=_cut(cur.terms),
-            docs=_cut(cur.docs),
-            blocks=_cut(cur.blocks),
-        )
+        seg_dir = tempfile.mkdtemp(prefix=f"soak_seg{m}_")
+        cur = _flush_segment(spark, cur, seg_dir)
         for fr in (prev.postings, prev.docs, prev.terms) + (
             (prev.blocks,) if prev.blocks is not None else ()
         ):
             fr.unpersist()
-        # the unpersisted ancestor's shuffle files are only deleted once the
-        # driver GCs the JVM-side references — force it so disk stays bounded
+        if prev_seg_dir is not None:
+            shutil.rmtree(prev_seg_dir, ignore_errors=True)
+        prev_seg_dir = seg_dir
+        # dead shuffle files are only deleted once the driver GCs the
+        # JVM-side references — force it so disk stays bounded
         spark.sparkContext._jvm.System.gc()
     t_merges = time.monotonic() - t0
     assert cur.merges_since_compaction == k_merges, cur.merges_since_compaction
@@ -285,6 +292,8 @@ def main() -> int:
         }
     )
 
+    if prev_seg_dir is not None:
+        shutil.rmtree(prev_seg_dir, ignore_errors=True)
     spark.stop()
     print("SOAK: all invariants hold")
     _flush(json_out, n_turns, results, t_mat=t_mat, done=True)
