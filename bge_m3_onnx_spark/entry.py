@@ -2669,66 +2669,13 @@ FROM sess GROUP BY user_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries only.  Slices are rotated each round so green evidence never ages
-    # more than 2 rounds: r4 front-loads the 25 slices whose last driver-green
-    # row is r2 (VERDICT r3 directive #9), then encode_failures (red in r3 —
-    # oracle BIGINT cast fix must be re-verified), then the 24 slices whose
-    # code paths r4 touches (dedup/simhash/WAND/percolate/temporal/core build).
-    # The remaining 25 all have a green r3 row and rotate to the back.
+    # more than 2 rounds (VERDICT r3 #9, r4 #8): r5 front-loads the 25 slices
+    # whose last driver-green row is r3 (they aged to 2 rounds), then the 25
+    # r4-green slices whose code paths round 5 touches (WAND driver-phase-2
+    # gate rework, percolate OR path, merge/release, core build surface). The
+    # remaining 25 all have a green r4 row and rotate to the back.
     return {
-        # --- green row dated r2 — re-verify this round ---
-        "synonym_topk": q_synonym_topk,
-        "index_stats": q_index_stats,
-        "date_histogram": q_date_histogram,
-        "term_vectors": q_term_vectors,
-        "neardup_clusters": q_neardup_clusters,
-        "snippet_text": q_snippet_text,
-        "term_suggest": q_term_suggest,
-        "significant_terms": q_significant_terms,
-        "asof_attribution": q_asof_attribution,
-        "range_join_windows": q_range_join_windows,
-        "hypertable_rollup": q_hypertable_rollup,
-        "percolate": q_percolate,
-        "fuzzy_search": q_fuzzy_search,
-        "quality_boosted_topk": q_quality_boosted_topk,
-        "filtered_search": q_filtered_search,
-        "doc_ordinals": q_ordinals,
-        "length_category": q_length_category,
-        "domain_detect": q_domain_detect,
-        "lang_distribution": q_lang_distribution,
-        "numeric_stats": q_numeric_stats,
-        "top5_terms": q_top5_terms,
-        "sparse_join": q_sparse_join,
-        "keyset_anti": q_keyset_anti,
-        "keyset_union": q_keyset_union,
-        "zip_compare": q_zip_compare,
-        # --- red in r3 (oracle HUGEINT cast fixed this round) ---
-        "encode_failures": q_encode_failures,
-        # --- code paths touched in r4 — re-verify ---
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_bands": q_minhash_bands,
-        "neardup_pairs": q_neardup_pairs,
-        "jaccard_neighbors": q_jaccard_neighbors,
-        "dedup_exact": q_dedup_exact,
-        "wand_topk": q_wand_topk,
-        "bm25_topk": q_bm25_topk,
-        "bm25_conjunctive": q_bm25_conjunctive,
-        "bm25_page2": q_bm25_page2,
-        "bm25_negation": q_bm25_negation,
-        "score_explain": q_score_explain,
-        "hybrid_rrf": q_hybrid_rrf,
-        "colbert_maxsim": q_colbert_maxsim,
-        "scan_transcripts": q_scan_transcripts,
-        "postings_tf": q_postings_tf,
-        "doc_lengths": q_doc_lengths,
-        "term_df": q_term_df,
-        "corpus_stats": q_corpus_stats,
-        "block_metadata": q_block_metadata,
-        "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        # --- green r3 rows — rotate to the back (entries 51-75) ---
+        # --- green row dated r3 — re-verify this round ---
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embdup_pairs": q_embdup_pairs,
@@ -2754,6 +2701,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "bm25f_topk": q_bm25f_topk,
         "conv_topk": q_conv_topk,
+        # --- code paths touched in r5 — re-verify ---
+        "wand_topk": q_wand_topk,
+        "percolate": q_percolate,
+        "bm25_topk": q_bm25_topk,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_page2": q_bm25_page2,
+        "bm25_negation": q_bm25_negation,
+        "score_explain": q_score_explain,
+        "hybrid_rrf": q_hybrid_rrf,
+        "colbert_maxsim": q_colbert_maxsim,
+        "scan_transcripts": q_scan_transcripts,
+        "postings_tf": q_postings_tf,
+        "doc_lengths": q_doc_lengths,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "block_metadata": q_block_metadata,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "neardup_pairs": q_neardup_pairs,
+        "jaccard_neighbors": q_jaccard_neighbors,
+        "simhash_pairs": q_simhash_pairs,
+        # --- green r4 rows — rotate to the back (entries 51-75) ---
+        "synonym_topk": q_synonym_topk,
+        "index_stats": q_index_stats,
+        "date_histogram": q_date_histogram,
+        "term_vectors": q_term_vectors,
+        "neardup_clusters": q_neardup_clusters,
+        "snippet_text": q_snippet_text,
+        "term_suggest": q_term_suggest,
+        "significant_terms": q_significant_terms,
+        "asof_attribution": q_asof_attribution,
+        "range_join_windows": q_range_join_windows,
+        "hypertable_rollup": q_hypertable_rollup,
+        "fuzzy_search": q_fuzzy_search,
+        "quality_boosted_topk": q_quality_boosted_topk,
+        "filtered_search": q_filtered_search,
+        "doc_ordinals": q_ordinals,
+        "length_category": q_length_category,
+        "domain_detect": q_domain_detect,
+        "lang_distribution": q_lang_distribution,
+        "numeric_stats": q_numeric_stats,
+        "top5_terms": q_top5_terms,
+        "sparse_join": q_sparse_join,
+        "keyset_anti": q_keyset_anti,
+        "keyset_union": q_keyset_union,
+        "zip_compare": q_zip_compare,
+        "encode_failures": q_encode_failures,
     }
 
 

@@ -47,6 +47,25 @@ class InvertedIndex:
     # pruning weakens monotonically until a compaction resets it)
     merges_since_compaction: int = 0
     _df_memo: dict = field(default_factory=dict, repr=False)
+    # intermediate cached relations owned by this index generation (e.g. the
+    # tokenized-delta relation a merge persisted); released with the index.
+    _aux_cached: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist every cached relation this index generation owns.
+
+        Merge chains (streaming/incremental.merge_delta) persist each
+        generation's postings/docs/blocks; nothing else ever unpersists them,
+        so a K-deep chain otherwise accumulates K generations of executor
+        storage. Call this on the SUPERSEDED index after materializing the
+        relations of its successor (count()/write — not before: the successor's
+        lineage unions this generation's cached relations, and releasing first
+        forces a full chain recompute from source on the successor's first
+        action). ``unpersist`` on a never-persisted relation is a no-op, so
+        this is safe on any index."""
+        for rel in (self.postings, self.terms, self.docs, self.blocks, *self._aux_cached):
+            if rel is not None:
+                rel.unpersist()
 
     def df_for_terms(self, term_list: list[str]) -> dict[str, int]:
         """Driver-side df lookup with a per-index memo: the first query for a
@@ -271,6 +290,7 @@ def write_index_bucketed(
         f"ALTER TABLE {table_prefix}_postings SET TBLPROPERTIES ("
         f"'engine.n_docs'='{idx.n_docs}', 'engine.avgdl'='{idx.avgdl}', "
         f"'engine.k1'='{idx.cfg.k1}', 'engine.b'='{idx.cfg.b}', "
+        f"'engine.block_size'='{idx.cfg.block_size}', "
         f"'engine.has_blocks'='{idx.blocks is not None}')"
     )
 
@@ -280,12 +300,25 @@ def load_index_bucketed(
 ) -> InvertedIndex:
     """Rehydrate an :class:`InvertedIndex` from :func:`write_index_bucketed`
     tables. Scans inherit the bucket spec, so downstream term-keyed joins/aggs
-    skip the shuffle and term-equality filters bucket-prune."""
+    skip the shuffle and term-equality filters bucket-prune.
+
+    Like the file-based :func:`load_index`, the scoring parameters come from the
+    STORED TBLPROPERTIES, not the caller's cfg: an index must be queried with
+    the k1/b/block_size it was BUILT with, or scores mis-rank and the stored
+    block_max_score no longer upper-bounds query-time scores (WAND's lossless
+    pruning breaks). ``reconcile_cfg`` warns loudly on any drift."""
     props = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_postings").collect()
     }
-    cfg = cfg or DEFAULT_CONFIG
+    stored = {}
+    if "engine.k1" in props:
+        stored["k1"] = float(props["engine.k1"])
+    if "engine.b" in props:
+        stored["b"] = float(props["engine.b"])
+    if "engine.block_size" in props:
+        stored["block_size"] = int(props["engine.block_size"])
+    cfg = reconcile_cfg(cfg or DEFAULT_CONFIG, stored, table_prefix)
     blocks = None
     if props.get("engine.has_blocks") == "True":
         blocks = spark.table(f"{table_prefix}_blocks")

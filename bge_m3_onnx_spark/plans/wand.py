@@ -454,8 +454,18 @@ def _run_queries_wand_forced(
         # showed the distributed phase-2/3 tree cost ~2.9 s of pure Catalyst
         # planning plus ~10 broadcast-exchange subjobs per batch — none of
         # which touches data that isn't already driver-sized.
+        # Per-term non-empty block count is bounded by BOTH the postings count d
+        # (each non-empty block holds ≥1 posting) and the ordinal-space tiling
+        # ceil(n / range) (blocks tile [0, n)). ceil(d / range) alone assumes
+        # ~range postings per block and underestimates by ~n/d for mid-frequency
+        # terms whose postings are spread one-per-block — at df=10^9 over n=10^12
+        # that reads ~8k where the actual count is ~8M, letting the cap pass and
+        # the tagged-union collect pull millions of rows to the driver. Merges can
+        # keep older (smaller-range) stored blocks, so this stays an
+        # order-of-magnitude gate with known slack in that direction.
         _est_blocks = sum(
-            -(-d // max(cfg.block_range_for_term(d, n), 1)) for d in _df_by_term.values()
+            min(d, -(-n // max(cfg.block_range_for_term(d, n), 1)))
+            for d in _df_by_term.values()
         )
         _PHASE2_DRIVER_CAP = 200_000
         _driver_phase2 = _est_blocks <= _PHASE2_DRIVER_CAP

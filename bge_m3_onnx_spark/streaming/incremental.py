@@ -60,7 +60,17 @@ def merge_delta(
     delta_transcripts: DataFrame,
     cfg: EngineConfig | None = None,
 ) -> InvertedIndex:
-    """Merge a batch of new transcripts into an existing logical index."""
+    """Merge a batch of new transcripts into an existing logical index.
+
+    Cache ownership contract: the returned index persists its own postings /
+    docs / blocks (and the tokenized delta, tracked in ``_aux_cached``) and
+    SUPERSEDES ``idx``. The caller owns the hand-off: materialize the returned
+    relations (count()/write), then call ``idx.release()`` on the old
+    generation — otherwise a K-deep merge chain accumulates K generations of
+    cached relations in executor storage (the r4 soak's RSS/disk growth). Do
+    not release before materializing: the new lineage unions the old cached
+    relations, and dropping them first recomputes the whole chain from source.
+    """
     cfg = cfg or idx.cfg
     has_ord = "doc_ord" in idx.postings.columns
 
@@ -122,6 +132,8 @@ def merge_delta(
         blocks=blocks,
         # a full re-cut (drift fallback / no blocks) resets the inflation clock
         merges_since_compaction=(idx.merges_since_compaction + 1) if kept_bounds else 0,
+        # the tokenized delta stays cached until this generation is released
+        _aux_cached=[tok],
     )
 
 

@@ -294,3 +294,46 @@ def test_bucketed_parquet_layout_roundtrip_and_pruning(spark, tmp_path):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         for t in ("postings", "terms", "docs", "blocks"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_bucketed_load_restores_built_cfg(spark):
+    """ADVICE r4: an index must be queried with the k1/b/block_size it was
+    BUILT with — load_index_bucketed must rehydrate them from TBLPROPERTIES
+    (like the file-based load_index does from stats.json), not silently adopt
+    the caller's cfg: a mismatched k1/b mis-scores, and stored block_max_score
+    would no longer upper-bound query scores (breaks WAND's lossless pruning)."""
+    import dataclasses
+    import warnings
+
+    from bge_m3_onnx_spark.config import DEFAULT_CONFIG
+    from bge_m3_onnx_spark.plans.build_index import (
+        load_index_bucketed,
+        write_index_bucketed,
+    )
+
+    custom = dataclasses.replace(DEFAULT_CONFIG, k1=0.9, b=0.4, block_size=64)
+    idx = build_index(
+        synth_transcripts(spark, n_convs=10, turns_per_conv=3),
+        cfg=custom,
+        with_ordinals=True,
+        with_blocks=True,
+        cache=False,
+    )
+    prefix = "bkt_cfg"
+    try:
+        write_index_bucketed(idx, prefix, n_buckets=4)
+        # default cfg passed in → stored values must win, loudly
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            loaded = load_index_bucketed(spark, prefix)
+        assert (loaded.cfg.k1, loaded.cfg.b, loaded.cfg.block_size) == (0.9, 0.4, 64)
+        assert any("STORED" in str(x.message) for x in w)
+        # matching cfg passed in → no reconcile warning (unrelated library
+        # warnings may fire; filter to the contract's message)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            load_index_bucketed(spark, prefix, cfg=custom)
+        assert not [x for x in w if "STORED" in str(x.message)]
+    finally:
+        for t in ("postings", "terms", "docs", "blocks"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
