@@ -81,6 +81,35 @@ def percolate(
     saved/qarr relations stay broadcast-sized while candidates shuffle only
     Σ_q df(rarest(q)) rows.
     """
+    if not conjunctive:
+        # OR (r5, VERDICT r4 #6): the r3/r4 plan deduped (doc, term) with a
+        # distinct() whose hash shuffle SCATTERS a doc's tokens across
+        # partitions, so the (doc, query) hash agg got no map-side combine and
+        # shuffled every matched (doc, query, term) triple — Σ_q Σ_{t∈q} df(t)
+        # rows (~billions on hot-vocab workloads; 97% of r3's wall time).
+        # Restructure so all of a doc's evidence is doc-local BEFORE query
+        # fan-out: (1) filter raw tokens to the saved vocabulary (broadcast
+        # semi-join — volume Σ_{t∈vocab} ctf(t), counted once per DISTINCT
+        # term, not once per query containing it), (2) one doc_id-keyed agg
+        # into per-doc matched-term sets, (3) explode + broadcast term→query
+        # join + count. After (2) a doc's rows live in one partition, so the
+        # count's partial aggregation collapses every (doc, query) duplicate
+        # map-side and the final shuffle is match-output-sized. Per-query OR
+        # match sets are inherently Σ-df-sized; this makes the COMPUTE
+        # output-bound instead of triple-shuffle-bound.
+        vocab = saved.select("term").distinct()
+        doc_sets = (
+            doc_tokens.select("doc_id", "term")
+            .join(F.broadcast(vocab), "term")
+            .groupBy("doc_id")
+            .agg(F.collect_set("term").alias("dts"))
+        )
+        return (
+            doc_sets.select("doc_id", F.explode("dts").alias("term"))
+            .join(F.broadcast(saved.select("term", "query_id")), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.count("*").cast("int").alias("n_matched"))
+        )
     toks = doc_tokens.select("doc_id", "term").distinct()
     if conjunctive and rarest is not None:
         cands = toks.join(F.broadcast(rarest), "term").select("doc_id", "query_id")

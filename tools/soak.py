@@ -63,7 +63,9 @@ def _flush_segment(spark, ix, seg_dir):
         rels["blocks"] = ix.blocks
     for name, df_ in rels.items():
         df_.write.mode("overwrite").parquet(os.path.join(seg_dir, name))
-        df_.unpersist()
+    # everything this generation cached (incl. the merge's tokenized delta,
+    # _aux_cached) is superseded by the files just written
+    ix.release()
     loaded = {name: spark.read.parquet(os.path.join(seg_dir, name)) for name in rels}
     return dataclasses.replace(
         ix,
@@ -71,6 +73,7 @@ def _flush_segment(spark, ix, seg_dir):
         terms=loaded["terms"],
         docs=loaded["docs"],
         blocks=loaded.get("blocks"),
+        _aux_cached=[],
     )
 
 
@@ -138,6 +141,14 @@ def main() -> int:
             # and filled the disk (r4 second attempt: "No space left on
             # device" at merge ~7). Reclaim dead shuffles on a 60s cadence.
             "spark.cleaner.periodicGC.interval": "60s",
+            # Reused Python workers are an RSS high-water mark over every
+            # Arrow batch they ever ran — 32 of them plus the 48g driver JVM
+            # exhausted the box ~80 min into the r4 soak (the directive-#4
+            # bug; measured in WORKER_RSS_r05.json via
+            # tools/worker_rss_probe.py). Fork-per-task bounds each worker's
+            # RSS to one task's footprint; the fork overhead is noise next to
+            # merge-chain job times.
+            "spark.python.worker.reuse": "false",
         },
     )
 
@@ -170,8 +181,7 @@ def main() -> int:
         spark, skew, {1: "the", 2: "the spark checkpoint", 3: "iceberg"}, f"skewed {n_turns}", results
     )
     _flush(json_out, n_turns, results)
-    for d in (skew.postings, skew.terms, skew.docs, skew.blocks):
-        d.unpersist()
+    skew.release()
 
     # 3. incremental merge: 5% delta, invariant must survive the block keep/rebuild split
     base = build_index(
@@ -194,12 +204,9 @@ def main() -> int:
     # ~2 full postings relations; at 10M turns leaving them cached puts the
     # executor store within range of OOM once check 4 persists its own chain
     # (the r4 first attempt died with crashed Python workers in exactly that
-    # probe). unpersist() is a no-op on never-persisted frames.
-    for ixx in (base, merged):
-        for fr in (ixx.postings, ixx.docs, ixx.terms) + (
-            (ixx.blocks,) if ixx.blocks is not None else ()
-        ):
-            fr.unpersist()
+    # probe). release() covers the merge's tokenized-delta cache too.
+    merged.release()
+    base.release()
 
     # 4. compaction policy at soak scale (VERDICT r3 #8): drive K consecutive
     # ε-drift merges on the SKEWED corpus (the pruning regime), watch the kept
