@@ -94,6 +94,28 @@ def main() -> int:
     t_fast = time.monotonic() - t0
     assert n_matches_fast == n_matches, (n_matches_fast, n_matches)
 
+    # ---- OR path (VERDICT r4 #6): old plan = distinct (doc,term) + broadcast
+    # join + (doc,query) count — the distinct's hash shuffle scatters a doc's
+    # tokens, so the count agg ships every matched triple (Σ_q Σ_t df(t) rows).
+    # New plan (percolate conjunctive=False) aggregates per-doc matched-term
+    # sets first so the count collapses map-side. Same output, measured here
+    # on the identical probe/saved relations.
+    t0 = time.monotonic()
+    or_old = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(saved), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count("*").cast("int").alias("n_matched"))
+    )
+    n_or_old = or_old.count()
+    t_or_old = time.monotonic() - t0
+    t0 = time.monotonic()
+    or_new = percolate(toks, saved, conjunctive=False)
+    n_or_new = or_new.count()
+    t_or_new = time.monotonic() - t0
+    assert n_or_new == n_or_old, (n_or_new, n_or_old)
+
     # alert fan-in shape: distinct alerted queries + per-query doc counts
     t0 = time.monotonic()
     per_q = fast.groupBy("query_id").agg(F.count("*").alias("n_docs"))
@@ -118,6 +140,12 @@ def main() -> int:
         "docs_per_sec_plain": round(n_docs / t_perc, 1),
         "docs_per_sec_rarest": round(n_docs / t_fast, 1),
         "speedup_rarest_vs_plain": round(t_perc / t_fast, 2),
+        "or_matches": n_or_new,
+        "or_plain_sec": round(t_or_old, 1),
+        "or_docsets_sec": round(t_or_new, 1),
+        "docs_per_sec_or_plain": round(n_docs / t_or_old, 1),
+        "docs_per_sec_or_docsets": round(n_docs / t_or_new, 1),
+        "speedup_or_docsets_vs_plain": round(t_or_old / t_or_new, 2),
         "status": "PASS",
     }
     print(json.dumps(out))

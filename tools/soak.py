@@ -245,10 +245,7 @@ def main() -> int:
         assert cur.blocks is not None
         seg_dir = tempfile.mkdtemp(prefix=f"soak_seg{m}_")
         cur = _flush_segment(spark, cur, seg_dir)
-        for fr in (prev.postings, prev.docs, prev.terms) + (
-            (prev.blocks,) if prev.blocks is not None else ()
-        ):
-            fr.unpersist()
+        prev.release()
         if prev_seg_dir is not None:
             shutil.rmtree(prev_seg_dir, ignore_errors=True)
         prev_seg_dir = seg_dir
