@@ -827,11 +827,27 @@ def _run_queries_wand_forced(
         # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
         docs = idx.docs.select("doc_id", "doc_ord")
         out = F.broadcast(scored).join(docs, "doc_ord").select("query_id", "doc_id", "score")
+        final_df = topk(out, k)
+        if stats_out is not None and stats_out.get("capture_plans"):
+            # plan-audit hook (tools/explain_audit.py): the returned frame is
+            # localCheckpointed below, so its own explain() is opaque — capture
+            # the pre-checkpoint formatted plans on request only.
+            import io
+            from contextlib import redirect_stdout
+
+            def _fmt_plan(df_: DataFrame) -> str:
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df_.explain("formatted")
+                return buf.getvalue()
+
+            stats_out["plan_surviving"] = _fmt_plan(surviving)
+            stats_out["plan_final"] = _fmt_plan(final_df)
         # Materialize the k·|q|-row result NOW (localCheckpoint is eager): the final
         # job must run WHILE the qblocks/decoded/candidates caches are alive — an
         # unpersist before the caller's collect would silently recompute both decode
         # branches. The returned frame reads the checkpointed rows, lineage-free.
-        result = topk(out, k).localCheckpoint(eager=True)
+        result = final_df.localCheckpoint(eager=True)
         if stats_out is not None:
             # diagnostic counts AFTER the final materialization: they reuse the
             # still-alive caches instead of recomputing phase 2, and never sit on
