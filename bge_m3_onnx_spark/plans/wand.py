@@ -207,10 +207,14 @@ def run_queries_wand(
         from bge_m3_onnx_spark.plans.query import run_queries
 
         if stats_out is not None:
+            # historical flag: True == "routed AWAY to the exact path";
+            # router_choice is the unambiguous spelling (WAND_CAL artifacts)
             stats_out["routed"] = True
+            stats_out["router_choice"] = "exact"
         return run_queries(spark, idx, queries, k=k, cfg=cfg)
     if stats_out is not None:
         stats_out["routed"] = False
+        stats_out["router_choice"] = "wand"
     # Size EVERY internal shuffle from driver-known Σdf: WAND's phases are
     # metadata-sized jobs, and running their ~dozen shuffles at the session
     # default (e.g. 64) puts hundreds of near-empty tasks on the latency path —

@@ -51,6 +51,20 @@ CAL_QUERIES = [
     "the a to and of",
 ]
 
+# --concentrated (VERDICT r4 #1): the shapes the router actually sends to WAND
+# above the fitted 12M-Σdf crossover — one heavy term (residual_frac ≤ 0.05),
+# Σdf ≥ 15M on a ≥24M-turn corpus — plus two control shapes the router must
+# DECLINE (small Σdf; unprunable multi-hot). Run at 24M turns: that keeps
+# df("the")/block_size ≈ 160k blocks under the 200k driver-phase-2 cap.
+CONCENTRATED_QUERIES = [
+    "the",
+    "of",
+    "iceberg3 the",
+    "iceberg3 of",
+    "spark3",
+    "a to and of",
+]
+
 
 def _time_path(fn, reps: int = 2) -> float:
     best = float("inf")
@@ -62,8 +76,11 @@ def _time_path(fn, reps: int = 2) -> float:
 
 
 def main() -> int:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    json_out = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--concentrated"]
+    concentrated = "--concentrated" in sys.argv[1:]
+    queries = CONCENTRATED_QUERIES if concentrated else CAL_QUERIES
+    n_turns = int(args[0]) if len(args) > 0 else 10_000_000
+    json_out = args[1] if len(args) > 1 else None
     spark = get_spark(app_name="wand-calibrate", master="local[32]", shuffle_partitions=64)
 
     t0 = time.monotonic()
@@ -78,30 +95,42 @@ def main() -> int:
     print(f"built skewed {n_turns}-turn index in {build_sec:.1f}s", flush=True)
 
     rows = []
-    for i, qtext in enumerate(CAL_QUERIES):
+    for i, qtext in enumerate(queries):
         terms = sorted(set(tokenize_text(qtext)))
         df_map = idx.df_for_terms(terms)
         sum_df = int(sum(df_map.values()))
         q = {1: qtext}
 
         def exact():
-            run_queries(spark, idx, q, k=10).collect()
+            return run_queries(spark, idx, q, k=10).collect()
 
         def wand():
             # NO stats_out in the timed runs: the diagnostic counts are 3 extra
             # jobs (one recomputes the whole phase-2 metadata join) and would
             # inflate the WAND side by seconds.
-            run_queries_wand(spark, idx, q, k=10, force_wand=True).collect()
+            return run_queries_wand(spark, idx, q, k=10, force_wand=True).collect()
+
+        def routed():
+            # the production entry point: the router itself picks the path
+            return run_queries_wand(spark, idx, q, k=10).collect()
 
         # warm both paths once (the warm WAND run doubles as the stats probe),
-        # then alternate measurement order per query
+        # then alternate measurement order per query. The warm rows also feed
+        # the soak-style invariant: routed/forced results must be bit-identical
+        # to exact.
         st: dict = {}
-        exact()
-        run_queries_wand(spark, idx, q, k=10, force_wand=True, stats_out=st).collect()
+        e_rows = exact()
+        w_rows = run_queries_wand(spark, idx, q, k=10, force_wand=True, stats_out=st).collect()
+        st_r: dict = {}
+        r_rows = run_queries_wand(spark, idx, q, k=10, stats_out=st_r).collect()
+        _k = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score"])  # noqa: E731
+        assert sorted(map(_k, w_rows)) == sorted(map(_k, e_rows)), f"{qtext}: WAND != exact"
+        assert sorted(map(_k, r_rows)) == sorted(map(_k, e_rows)), f"{qtext}: routed != exact"
         if i % 2 == 0:
             t_exact, t_wand = _time_path(exact), _time_path(wand)
         else:
             t_wand, t_exact = _time_path(wand), _time_path(exact)
+        t_routed = _time_path(routed)
         rows.append(
             {
                 "query": qtext,
@@ -109,6 +138,10 @@ def main() -> int:
                 "exact_sec": round(t_exact, 3),
                 "wand_sec": round(t_wand, 3),
                 "wand_speedup": round(t_exact / t_wand, 2),
+                "router_choice": st_r.get("router_choice"),
+                "routed_sec": round(t_routed, 3),
+                "routed_speedup_vs_exact": round(t_exact / t_routed, 2),
+                "bit_identical": True,
                 "blocks_total": st.get("blocks_total"),
                 "blocks_surviving": st.get("blocks_surviving"),
                 "blocks_extra_decoded": st.get("blocks_extra_decoded"),
