@@ -1380,6 +1380,35 @@ SQL_PERCOLATE = _sql(
 )
 
 
+def q_percolate_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match percolation (OR, m=2): pairs matching ≥ 2 distinct
+    query terms. Candidates come only from each query's n_terms-m+1 RAREST
+    terms (prefix filter — sound by t-occurrence), the hottest m-1 are never
+    fanned out; verification recomputes the true match count, so the output is
+    brute-force-equal (the oracle IS the brute force)."""
+    from bge_m3_onnx_spark.operators.percolate import (
+        percolate,
+        prefix_terms_df,
+        saved_queries_df,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    saved = saved_queries_df(spark, _PERC_QUERIES, CFG)
+    term_df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    prefix = prefix_terms_df(saved, term_df, 2)
+    return percolate(toks, saved, conjunctive=False, min_should_match=2, prefix=prefix)
+
+
+SQL_PERCOLATE_MSM = _sql(
+    _BASE_CTES + f", saved(query_id, term, n_terms) AS (VALUES {_perc_values()})",
+    """SELECT d.doc_id, s.query_id, CAST(count(*) AS INT) AS n_matched
+       FROM (SELECT DISTINCT doc_id, term FROM tokens) d
+       JOIN saved s ON d.term = s.term
+       GROUP BY d.doc_id, s.query_id
+       HAVING count(*) >= 2""",
+)
+
+
 _FUZZY_SEARCH_Q = "quary tabel scann"  # 3 misspellings: query/table+tale?/scan
 
 
@@ -2704,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- code paths touched in r5 — re-verify ---
         "wand_topk": q_wand_topk,
         "percolate": q_percolate,
+        "percolate_msm": q_percolate_msm,
         "bm25_topk": q_bm25_topk,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_page2": q_bm25_page2,
@@ -2795,6 +2825,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": SQL_RANGE_JOIN,
         "hypertable_rollup": SQL_ROLLUP,
         "percolate": SQL_PERCOLATE,
+        "percolate_msm": SQL_PERCOLATE_MSM,
         "fuzzy_search": SQL_FUZZY_SEARCH,
         "quality_boosted_topk": SQL_QUALITY_BOOSTED,
         "filtered_search": SQL_FILTERED,

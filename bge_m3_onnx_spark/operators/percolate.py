@@ -51,11 +51,45 @@ def rarest_terms_df(saved: DataFrame, term_df: DataFrame) -> DataFrame:
     )
 
 
+def prefix_terms_df(saved: DataFrame, term_df: DataFrame, min_should_match: int) -> DataFrame:
+    """(query_id, term): each saved query's ``n_terms - m + 1`` lowest-df terms.
+
+    The t-occurrence / prefix-filter principle (set-similarity joins; ES uses
+    the same idea for ``minimum_should_match`` rewrites): a doc matching
+    ≥ m distinct terms of q can miss at most ``n_terms - m`` of them, so it
+    must match at least one of q's ``n_terms - m + 1`` rarest terms —
+    candidate generation may skip the ``m - 1`` hottest terms per query
+    entirely. For ``m = n_terms`` this degenerates to :func:`rarest_terms_df`
+    (the conjunctive single-rarest-term trick). Queries with
+    ``m > n_terms`` get an EMPTY prefix: they can never match m distinct
+    terms, and no candidates is exactly the right answer.
+
+    ``term_df`` is (term, df) from the index (or one agg over the probe
+    tokens); absent terms coalesce to df 0. Ties break on term for
+    determinism — any valid prefix yields the same verified output.
+    """
+    from pyspark.sql import Window
+
+    joined = (
+        saved.select("query_id", "term", "n_terms")
+        .join(term_df.select("term", "df"), "term", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    return (
+        joined.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.col("n_terms") - F.lit(int(min_should_match)) + F.lit(1))
+        .select("query_id", "term")
+    )
+
+
 def percolate(
     doc_tokens: DataFrame,
     saved: DataFrame,
     conjunctive: bool = True,
     rarest: DataFrame | None = None,
+    min_should_match: int = 1,
+    prefix: DataFrame | None = None,
 ) -> DataFrame:
     """doc_tokens (doc_id, term) × saved (query_id, term, n_terms) →
     (doc_id, query_id, n_matched). AND semantics requires every query term in
@@ -81,6 +115,42 @@ def percolate(
     saved/qarr relations stay broadcast-sized while candidates shuffle only
     Σ_q df(rarest(q)) rows.
     """
+    if not conjunctive and min_should_match > 1:
+        # minimum_should_match ≥ 2 (the ES percolator semantic): report
+        # (doc, query) pairs matching at least m distinct query terms. Full-OR
+        # output is inherently Σ_q Σ_{t∈q} df(t) pairs (measured 1.02B at
+        # 1M docs × 10k queries — the OUTPUT is the cost); with m ≥ 2 the
+        # prefix filter generates candidates only from each query's
+        # n_terms-m+1 RAREST terms (sound — see prefix_terms_df), skipping the
+        # m-1 hottest, and verification recomputes the TRUE match count as
+        # size(array_intersect(doc_terms, query_terms)) so the output is
+        # exactly brute-force-equal. Candidate volume: Σ_q Σ_{t∈prefix(q)}
+        # df(t) — on hot-vocab workloads orders of magnitude below full OR.
+        if prefix is None:
+            raise ValueError(
+                "min_should_match > 1 requires prefix=prefix_terms_df(saved, term_df, m)"
+            )
+        vocab = saved.select("term").distinct()
+        # doc term sets restricted to the saved vocabulary (intersection only
+        # ever counts query terms, and this keeps the per-doc arrays bounded
+        # by |vocab| instead of |doc|)
+        toks_v = doc_tokens.select("doc_id", "term").join(F.broadcast(vocab), "term")
+        doc_terms = toks_v.groupBy("doc_id").agg(F.collect_set("term").alias("dts"))
+        # a doc can be a candidate for q via several prefix terms → dedupe
+        cands = (
+            toks_v.join(F.broadcast(prefix), "term").select("doc_id", "query_id").distinct()
+        )
+        qarr = saved.groupBy("query_id").agg(F.collect_set("term").alias("qts"))
+        return (
+            cands.join(doc_terms, "doc_id")
+            .join(F.broadcast(qarr), "query_id")
+            .select(
+                "doc_id",
+                "query_id",
+                F.size(F.array_intersect("dts", "qts")).alias("n_matched"),
+            )
+            .filter(F.col("n_matched") >= F.lit(int(min_should_match)))
+        )
     if not conjunctive:
         # OR (r5, VERDICT r4 #6): the r3/r4 plan deduped (doc, term) with a
         # distinct() whose hash shuffle SCATTERS a doc's tokens across

@@ -5,6 +5,7 @@ more-like-this. Each test pins the semantic contract the oracle slice relies on
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bge_m3_onnx_spark.operators.positional import positional_postings, proximity_match
 from bge_m3_onnx_spark.operators.wildcard import expand_prefix
@@ -178,3 +179,71 @@ def test_percolate_rarest_term_equals_plain(spark):
     assert plain == fast
     assert ("d5", 3, 2) in fast and ("d4", 1, 2) not in fast
     assert not any(q == 5 for _, q, _ in fast)  # 'ghost' never matches
+
+
+def test_percolate_min_should_match_equals_brute(spark):
+    """min_should_match ≥ 2 via the prefix filter (each query's n-m+1 rarest
+    terms) must equal brute force: the full OR path filtered to
+    n_matched ≥ m — including queries whose hot term is the ONLY one a doc
+    has (pruned candidate, correctly absent) and m > n_terms (empty)."""
+    from bge_m3_onnx_spark.operators.percolate import (
+        percolate,
+        prefix_terms_df,
+        saved_queries_df,
+    )
+
+    docs = [
+        ("d1", ["the", "spark", "shuffle"]),
+        ("d2", ["the"]),
+        ("d3", ["spark", "rare1"]),
+        ("d4", ["the", "rare1", "rare2"]),
+        ("d5", ["rare2"]),
+    ]
+    toks = spark.createDataFrame(
+        [(d, t) for d, ts in docs for t in ts], "doc_id string, term string"
+    )
+    queries = {1: "the spark shuffle", 2: "rare1 rare2 the", 3: "spark rare2", 4: "ghost"}
+    saved = saved_queries_df(spark, queries)
+    term_df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    for m in (2, 3):
+        prefix = prefix_terms_df(saved, term_df, m)
+        # prefix size per query = n_terms - m + 1 (never larger, empty if m > n)
+        sizes = {
+            r["query_id"]: r["n"]
+            for r in prefix.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        for qid, qtext in queries.items():
+            n_terms = len(set(qtext.split()))
+            assert sizes.get(qid, 0) == max(0, n_terms - m + 1)
+        got = {
+            (r["doc_id"], r["query_id"], r["n_matched"])
+            for r in percolate(
+                toks, saved, conjunctive=False, min_should_match=m, prefix=prefix
+            ).collect()
+        }
+        brute = {
+            (r["doc_id"], r["query_id"], r["n_matched"])
+            for r in percolate(toks, saved, conjunctive=False).collect()
+            if r["n_matched"] >= m
+        }
+        assert got == brute, (m, got, brute)
+    # m=2 spot checks: d2 has only q1's hottest term -> no match; d4 matches q2
+    # with all 3; 'ghost' (df 0, n=1 < m) never appears
+    prefix2 = prefix_terms_df(saved, term_df, 2)
+    got2 = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(
+            toks, saved, conjunctive=False, min_should_match=2, prefix=prefix2
+        ).collect()
+    }
+    assert ("d2", 1) not in got2 and ("d1", 1) in got2 and ("d4", 2) in got2
+    assert not any(q == 4 for _, q in got2)
+
+
+def test_percolate_min_should_match_requires_prefix(spark):
+    from bge_m3_onnx_spark.operators.percolate import percolate, saved_queries_df
+
+    saved = saved_queries_df(spark, {1: "a b"})
+    toks = spark.createDataFrame([("d1", "a")], "doc_id string, term string")
+    with pytest.raises(ValueError, match="prefix"):
+        percolate(toks, saved, conjunctive=False, min_should_match=2)

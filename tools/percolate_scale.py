@@ -26,6 +26,7 @@ from bge_m3_onnx_spark.config import DEFAULT_CONFIG  # noqa: E402
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_udf  # noqa: E402
 from bge_m3_onnx_spark.operators.percolate import (  # noqa: E402
     percolate,
+    prefix_terms_df,
     rarest_terms_df,
 )
 from bge_m3_onnx_spark.session import get_spark  # noqa: E402
@@ -116,6 +117,23 @@ def main() -> int:
     t_or_new = time.monotonic() - t0
     assert n_or_new == n_or_old, (n_or_new, n_or_old)
 
+    # ---- min_should_match=2 (r5): full-OR output is inherently Σ_q Σ_t df(t)
+    # pairs (the 1B rows ARE the cost); msm≥2 is the ES semantic that makes the
+    # output meaningful AND prunable — prefix-filter candidates (each query's
+    # n_terms-1 rarest terms; the hottest term never fans out), doc-set verify
+    # with the TRUE match count. Brute-force equality asserted against the
+    # full-OR relation filtered to n_matched ≥ 2.
+    t0 = time.monotonic()
+    prefix = prefix_terms_df(saved, term_df, 2).persist()
+    prefix.count()
+    t_prefix_prep = time.monotonic() - t0
+    t0 = time.monotonic()
+    msm = percolate(toks, saved, conjunctive=False, min_should_match=2, prefix=prefix)
+    n_msm = msm.count()
+    t_msm = time.monotonic() - t0
+    n_msm_brute = or_new.filter(F.col("n_matched") >= 2).count()
+    assert n_msm == n_msm_brute, (n_msm, n_msm_brute)
+
     # alert fan-in shape: distinct alerted queries + per-query doc counts
     t0 = time.monotonic()
     per_q = fast.groupBy("query_id").agg(F.count("*").alias("n_docs"))
@@ -146,6 +164,13 @@ def main() -> int:
         "docs_per_sec_or_plain": round(n_docs / t_or_old, 1),
         "docs_per_sec_or_docsets": round(n_docs / t_or_new, 1),
         "speedup_or_docsets_vs_plain": round(t_or_old / t_or_new, 2),
+        "msm2_matches": n_msm,
+        "msm2_matches_brute_equal": True,
+        "msm2_prefix_prep_sec": round(t_prefix_prep, 1),
+        "msm2_sec": round(t_msm, 1),
+        "docs_per_sec_msm2": round(n_docs / t_msm, 1),
+        "speedup_msm2_vs_or_plain": round(t_or_old / t_msm, 2),
+        "speedup_msm2_vs_or_docsets": round(t_or_new / t_msm, 2),
         "status": "PASS",
     }
     print(json.dumps(out))
