@@ -179,6 +179,58 @@ def main() -> None:
         )
     )
 
+    # ---- Percolate OR / min_should_match plans (r5): the full-OR count must
+    # be exchange-free after the doc-local set agg; msm candidates broadcast.
+    from bge_m3_onnx_spark.operators.percolate import (
+        percolate,
+        prefix_terms_df,
+        saved_queries_df,
+    )
+
+    toks = (
+        synth_transcripts(spark, 500, 10)
+        .select(
+            F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    saved = saved_queries_df(spark, {1: "spark the index", 2: "shuffle of varbyte"})
+    plan_or = percolate(toks, saved, conjunctive=False)
+    sections.append(
+        (
+            "Percolate full-OR (doc-local term sets)",
+            fmt(plan_or),
+            [
+                "Saved-vocabulary semi-join and term→query fan-out are BroadcastHashJoins",
+                "The only corpus-sized Exchange is the doc_id set agg (the other is the "
+                "saved-vocab distinct, |vocab| rows feeding its broadcast); the final "
+                "(doc_id, query_id) partial+final HashAggregate pair reuses the doc_id "
+                "partitioning — NO exchange between them (output is computed, not "
+                "shuffled: the match volume Σ_q Σ_t df(t) never rides a shuffle)",
+            ],
+        )
+    )
+    term_df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    plan_msm = percolate(
+        toks, saved, conjunctive=False, min_should_match=2,
+        prefix=prefix_terms_df(saved, term_df, 2),
+    )
+    sections.append(
+        (
+            "Percolate min_should_match=2 (prefix-filter candidates)",
+            fmt(plan_msm),
+            [
+                "Prefix relation (each query's n−m+1 rarest terms) and per-query term "
+                "arrays are broadcast — candidate generation never shuffles the probe",
+                "Data-sized exchanges are the candidate (doc_id, query_id) dedupe and "
+                "the doc-set agg, both candidate/vocab-bounded (hottest m−1 terms "
+                "never fan out); term_df/prefix prep shuffles are term-count-sized "
+                "after map-side partial agg",
+            ],
+        )
+    )
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write("# EXPLAIN audit — key physical plans\n\n")
         f.write("Generated by tools/explain_audit.py over a materialized index.\n")
