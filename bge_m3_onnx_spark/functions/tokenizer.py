@@ -91,6 +91,37 @@ def tokenize_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # 
     return _tok
 
 
+def token_count_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # noqa: ANN201
+    """text → int32 token count == ``len(tokenize_text(text, ...))``.
+
+    The build's pass-1 statistics job (ordinal bucket counts, Σdl, avgdl —
+    plans/build_index.py) needs ONLY dl per doc, but it historically ran the
+    full :func:`term_counts_udf` kernel and shipped every (term, tf) struct
+    back through Arrow just to aggregate its length. This kernel counts regex
+    matches vectorized (``Series.str.count``) and returns 4 bytes per doc —
+    no Counter, no struct array, no JVM-side nested-array conversion. With a
+    non-empty special-terms set the clamp-then-filter order forces real
+    tokenization, so that path falls back to findall (tests assert both equal
+    the oracle tokenizer's length on every edge fixture)."""
+    specials = frozenset(special_terms)
+
+    @F.pandas_udf(IntegerType())
+    def _tok_n(s: pd.Series) -> pd.Series:
+        filled = s.fillna("")
+        norm = filled.str.normalize("NFKC").str.lower()
+        if specials:
+            toks = norm.str.findall(_TOKEN_RE)
+            if max_tokens is not None:
+                toks = toks.map(lambda xs: xs[:max_tokens] if len(xs) > max_tokens else xs)
+            return toks.map(lambda xs: sum(1 for t in xs if t not in specials)).astype("int32")
+        n = norm.str.count(TOKEN_PATTERN)
+        if max_tokens is not None:
+            n = n.clip(upper=max_tokens)
+        return n.astype("int32")
+
+    return _tok_n
+
+
 def term_counts_udf(max_tokens: int = 8192, special_terms: Iterable[str] = ()):  # noqa: ANN201
     """text → array<struct<term, tf>> — tokenize AND count inside the kernel.
 

@@ -17,11 +17,15 @@ import numpy as np
 _MAX_BYTES = 10  # ceil(64/7)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints (< 2**63) to VB bytes."""
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a 1-D array of non-negative ints (< 2**63) to VB bytes, also
+    returning the per-value byte length. The lengths let a caller that encodes
+    MANY lists in one call (operators/compress.py encodes a whole Arrow batch's
+    blocks at once) slice the single output buffer into per-list cells with
+    pure offset arithmetic — no per-list numpy call."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     if v.size and int(v.max()) >= (1 << 63):
         raise ValueError("vb_encode: values must be < 2**63")
     # bytes needed per value = floor(log2(v))//7 + 1 (1 for v in {0,1})
@@ -37,7 +41,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * b)).astype(np.uint64) & np.uint64(0x7F)
         cont = (b < lengths[mask] - 1).astype(np.uint8) * np.uint8(0x80)
         buf[offsets[mask] + b] = chunk.astype(np.uint8) | cont
-    return buf.tobytes()
+    return buf.tobytes(), lengths
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints (< 2**63) to VB bytes."""
+    return vb_encode_with_lengths(values)[0]
 
 
 def vb_decode(data: bytes) -> np.ndarray:

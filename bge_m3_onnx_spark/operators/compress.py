@@ -27,6 +27,17 @@ parallel groupBy + Arrow kernel.
 
 Storing dl per posting makes blocks self-scoring: the WAND phases never join the
 10^12-row docs table (SURVEY.md §3.4 query lifecycle).
+
+Python-boundary design (r6, guide §4.2): both kernels are ``mapInArrow``, not
+``mapInPandas``. The r5 pandas kernels spent ~3 s of a 4.4 s blocks stage (2M
+turns, 32 cores) converting 8.6M Arrow string cells to Python objects and back —
+the encode math itself cost < 0.1 s. The Arrow kernels never materialize a
+Python string: term group boundaries come from dictionary-encoded indices, the
+per-block term column is an Arrow ``take`` of the group-start indices, varbyte
+cells are built by slicing ONE vectorized encode of the whole batch with
+offset arithmetic (``pa.Array.from_buffers`` over a single data buffer), and
+decode reads each binary column's values as the contiguous Arrow data buffer —
+the per-block b"".join is gone.
 """
 
 from __future__ import annotations
@@ -34,7 +45,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -48,7 +59,7 @@ from pyspark.sql.types import (
 )
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
-from bge_m3_onnx_spark.functions.varbyte import gaps_encode, vb_decode, vb_encode
+from bge_m3_onnx_spark.functions.varbyte import vb_decode, vb_encode_with_lengths
 
 BLOCK_SCHEMA = StructType(
     [
@@ -64,12 +75,35 @@ BLOCK_SCHEMA = StructType(
     ]
 )
 
+_BLOCK_PA_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("block_id", pa.int64()),
+        ("block_range", pa.int64()),
+        ("n", pa.int32()),
+        ("first_ord", pa.int64()),
+        ("ords_vb", pa.binary()),
+        ("tfs_vb", pa.binary()),
+        ("dls_vb", pa.binary()),
+        ("block_max_score", pa.float64()),
+    ]
+)
+
 DECODED_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("doc_ord", LongType(), False),
         StructField("tf", IntegerType(), False),
         StructField("dl", IntegerType(), False),
+    ]
+)
+
+_DECODED_PA_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_ord", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
     ]
 )
 
@@ -80,6 +114,22 @@ def _bm25_np(
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
     return idf * tf * (cfg.k1 + 1.0) / (tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / avgdl))
+
+
+def _segmented_binary(values: np.ndarray, seg_starts: np.ndarray, seg_ends: np.ndarray) -> pa.Array:
+    """VB-encode ``values`` once, then expose segment [seg_starts[i], seg_ends[i])
+    (VALUE indices) as row i of a binary array — one data buffer, offsets from
+    pure arithmetic, zero per-segment encode calls."""
+    buf, lengths = vb_encode_with_lengths(values)
+    cum = np.concatenate(([0], np.cumsum(lengths)))  # byte offset of each value
+    offsets = np.empty(len(seg_starts) + 1, dtype=np.int32)
+    offsets[:-1] = cum[seg_starts]
+    offsets[-1] = cum[seg_ends[-1]] if len(seg_ends) else 0
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(seg_starts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)],
+    )
 
 
 def build_blocks(
@@ -97,6 +147,7 @@ def build_blocks(
     rows regardless of df.
     """
     avgdl_f = float(avgdl)
+    k1, b = cfg.k1, cfg.b
     # block range replicates EngineConfig.block_range_for_term in integer SQL math
     block_range = F.greatest(
         F.lit(1).cast("long"),
@@ -112,11 +163,11 @@ def build_blocks(
     )
 
     # One Arrow pass per partition instead of a grouped-apply per (term, block):
-    # grouped applyInPandas costs ~ms per group (Arrow batch + pandas frame per
-    # group), which dominates when groups are ~block_size rows. We shuffle by term,
-    # sort within partitions by (term, block_id, doc_ord), and cut group boundaries
-    # ourselves inside mapInPandas, carrying a possibly-split trailing group across
-    # Arrow batches. ~10x faster block assembly at identical output.
+    # grouped applyInPandas costs ~ms per group (Arrow batch + frame per group),
+    # which dominates when groups are ~block_size rows. We shuffle by term, sort
+    # within partitions by (term, block_id, doc_ord), and cut group boundaries
+    # ourselves inside mapInArrow, carrying a possibly-split trailing group across
+    # Arrow batches.
     # hash-shuffle on (term, block_id): every group lands whole in one partition,
     # while a hot term's millions of blocks spread across ALL partitions (the skew
     # story survives); sort restores group contiguity for the boundary cut.
@@ -124,76 +175,105 @@ def build_blocks(
         "term", "block_id", "doc_ord"
     )
 
-    def _encode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
-        bids = pdf["block_id"].to_numpy(dtype=np.int64)
-        brs = pdf["block_range"].to_numpy(dtype=np.int64)
-        ords = pdf["doc_ord"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        idfs = pdf["idf"].to_numpy(dtype=np.float64)
+    def _encode_table(tbl: pa.Table) -> pa.RecordBatch:
+        t = tbl.combine_chunks()
+        term_arr = t.column("term").chunk(0)
+        bids = t.column("block_id").to_numpy()
+        brs = t.column("block_range").to_numpy()
+        ords = t.column("doc_ord").to_numpy()
+        tfs = t.column("tf").to_numpy().astype(np.int64)
+        dls = t.column("dl").to_numpy().astype(np.int64)
+        idfs = t.column("idf").to_numpy()
+        codes = term_arr.dictionary_encode().indices.to_numpy()
         scores = _bm25_np(tfs, dls, idfs, avgdl_f, cfg)
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (bids[1:] != bids[:-1])) + 1
+        total = len(bids)
+        change = np.flatnonzero((codes[1:] != codes[:-1]) | (bids[1:] != bids[:-1])) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        out = {k: [] for k in ("term", "block_id", "block_range", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb", "block_max_score")}
-        for s, e in zip(starts, ends):
-            first, gaps = gaps_encode(ords[s:e].astype(np.uint64))
-            out["term"].append(terms[s])
-            out["block_id"].append(int(bids[s]))
-            out["block_range"].append(int(brs[s]))
-            out["n"].append(e - s)
-            out["first_ord"].append(first)
-            out["ords_vb"].append(gaps)
-            out["tfs_vb"].append(vb_encode(tfs[s:e].astype(np.uint64)))
-            out["dls_vb"].append(vb_encode(dls[s:e].astype(np.uint64)))
-            out["block_max_score"].append(float(scores[s:e].max()))
-        return pd.DataFrame(out)
+        ends = np.concatenate((change, [total]))
+        # within-block ordinal gaps, concatenated across ALL blocks of the batch:
+        # drop the diffs that straddle a block boundary, encode ONCE, slice per
+        # block by byte offsets (first_ord is stored raw, so a block contributes
+        # n-1 gap values)
+        d = np.diff(ords)
+        keep = np.ones(max(total - 1, 0), dtype=bool)
+        keep[change - 1] = False
+        gap_vals = d[keep].astype(np.uint64)
+        ns = ends - starts
+        gap_starts = np.concatenate(([0], np.cumsum(ns - 1)))  # VALUE index per block
+        ords_vb = _segmented_binary(gap_vals, gap_starts[:-1], gap_starts[1:])
+        tfs_vb = _segmented_binary(tfs.astype(np.uint64), starts, ends)
+        dls_vb = _segmented_binary(dls.astype(np.uint64), starts, ends)
+        idx = pa.array(starts)
+        return pa.record_batch(
+            [
+                term_arr.take(idx),
+                pa.array(bids[starts], type=pa.int64()),
+                pa.array(brs[starts], type=pa.int64()),
+                pa.array(ns.astype(np.int32)),
+                pa.array(ords[starts], type=pa.int64()),
+                ords_vb,
+                tfs_vb,
+                dls_vb,
+                pa.array(np.maximum.reduceat(scores, starts)),
+            ],
+            schema=_BLOCK_PA_SCHEMA,
+        )
 
-    def encode_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            n_rows = tbl.num_rows
+            if n_rows == 0:
                 continue
-            last_term = pdf["term"].iloc[-1]
-            last_bid = pdf["block_id"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["block_id"] == last_bid)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                yield _encode_frame(body)
-        if carry is not None and len(carry):
-            yield _encode_frame(carry)
+            codes = tbl.column("term").combine_chunks().dictionary_encode().indices.to_numpy()
+            bids = tbl.column("block_id").to_numpy()
+            tail_eq = (codes == codes[-1]) & (bids == bids[-1])
+            rev = tail_eq[::-1]
+            tail_len = n_rows if rev.all() else int(rev.argmin())
+            carry = tbl.slice(n_rows - tail_len)
+            body = tbl.slice(0, n_rows - tail_len)
+            if body.num_rows:
+                yield _encode_table(body)
+        if carry is not None and carry.num_rows:
+            yield _encode_table(carry)
 
-    return sorted_p.mapInPandas(encode_partition, BLOCK_SCHEMA)
+    return sorted_p.mapInArrow(encode_partition, BLOCK_SCHEMA)
 
 
-def _decode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+def _binary_values_buffer(arr: pa.Array) -> bytes:
+    """The concatenation of a non-null BinaryArray's values — read straight from
+    the Arrow data buffer via the offsets array (no per-row Python objects)."""
+    if arr.null_count:  # engine blocks never carry null buffers; stay correct anyway
+        return b"".join(bytes(x) for x in arr.to_pylist())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4)
+    data = arr.buffers()[2]
+    return data[int(offsets[0]) : int(offsets[-1])].to_pybytes()
+
+
+def _decode_batch(rb: pa.RecordBatch) -> pa.RecordBatch | None:
     """Decode ALL blocks of one Arrow batch in a handful of numpy passes.
 
     VB is self-delimiting, so the per-block byte buffers concatenate into one
     stream that decodes in a single vectorized call; the per-block gap→ordinal
     cumsum becomes ONE global cumsum with a per-segment base correction. No
-    per-block numpy setup cost — the per-iteration overhead VERDICT r1 flagged
-    (hot-term queries decode millions of blocks) is gone; only the byte joins
-    remain O(blocks), and those are C-level."""
-    ns = pdf["n"].to_numpy(dtype=np.int64)
+    per-block numpy setup cost — and with Arrow, 'concatenate the buffers' is
+    just reading the column's contiguous data buffer."""
+    ns = rb.column(rb.schema.get_field_index("n")).to_numpy().astype(np.int64)
     total = int(ns.sum())
     if total == 0:
-        return pd.DataFrame(
-            {
-                "term": np.array([], dtype=object),
-                "doc_ord": np.array([], dtype=np.int64),
-                "tf": np.array([], dtype=np.int32),
-                "dl": np.array([], dtype=np.int32),
-            }
-        )
-    firsts = pdf["first_ord"].to_numpy(dtype=np.int64)
-    gaps = vb_decode(b"".join(bytes(x) for x in pdf["ords_vb"])).astype(np.int64)
-    tfs = vb_decode(b"".join(bytes(x) for x in pdf["tfs_vb"])).astype(np.int64)
-    dls = vb_decode(b"".join(bytes(x) for x in pdf["dls_vb"])).astype(np.int64)
+        return None
+    firsts = rb.column(rb.schema.get_field_index("first_ord")).to_numpy().astype(np.int64)
+
+    def col(name: str) -> pa.Array:
+        a = rb.column(rb.schema.get_field_index(name))
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    gaps = vb_decode(_binary_values_buffer(col("ords_vb"))).astype(np.int64)
+    tfs = vb_decode(_binary_values_buffer(col("tfs_vb"))).astype(np.int32)
+    dls = vb_decode(_binary_values_buffer(col("dls_vb"))).astype(np.int32)
     starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
     arr = np.zeros(total, dtype=np.int64)
     is_start = np.zeros(total, dtype=bool)
@@ -205,21 +285,20 @@ def _decode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     last_vals = firsts + seg_gap_sums
     arr[starts] = firsts - np.concatenate(([0], last_vals[:-1]))
     ords = np.cumsum(arr)
-    return pd.DataFrame(
-        {
-            "term": np.repeat(pdf["term"].to_numpy(), ns),
-            "doc_ord": ords,
-            "tf": tfs.astype(np.int32),
-            "dl": dls.astype(np.int32),
-        }
+    term_out = col("term").take(pa.array(np.repeat(np.arange(len(ns)), ns)))
+    return pa.record_batch(
+        [term_out, pa.array(ords), pa.array(tfs), pa.array(dls)],
+        schema=_DECODED_PA_SCHEMA,
     )
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """block rows → (term, doc_ord, tf, dl), cross-block-vectorized mapInPandas."""
+    """block rows → (term, doc_ord, tf, dl), cross-block-vectorized mapInArrow."""
 
-    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            yield _decode_frame(pdf)
+    def decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            out = _decode_batch(rb)
+            if out is not None:
+                yield out
 
-    return blocks.mapInPandas(decode_batches, DECODED_SCHEMA)
+    return blocks.mapInArrow(decode_batches, DECODED_SCHEMA)

@@ -40,6 +40,7 @@ def assign_dense_ordinals_with_aggs(
     num_partitions: int | None = None,
     extra_aggs: list | None = None,
     max_boundary_sample: int = MAX_BOUNDARY_SAMPLE,
+    stats_df: DataFrame | None = None,
 ):
     """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique).
 
@@ -48,13 +49,21 @@ def assign_dense_ordinals_with_aggs(
     (e.g. Σdl) onto the counts job instead of paying another full pass.
     Two driver jobs total: the boundary sample (key column only — Catalyst prunes
     the tokenizer UDF out of both) and the per-bucket counts. Driver memory is
-    bounded at ``max_boundary_sample`` keys."""
+    bounded at ``max_boundary_sample`` keys.
+
+    ``stats_df`` (optional): a CHEAPER relation with the SAME key multiset and
+    any columns ``extra_aggs`` reference — the sample and the counts job run on
+    it instead of ``df`` (guide §4.1: the counts job needs per-doc scalars, not
+    the full tokenized payload ``df`` computes). Bucket membership is a pure
+    function of the key, so per-bucket counts/offsets from ``stats_df`` apply
+    to ``df`` exactly; only the final ranking window touches ``df`` itself."""
     spark = df.sparkSession
     n_buckets = max(1, num_partitions or spark.sparkContext.defaultParallelism)
+    src = stats_df if stats_df is not None else df
 
     sample = sorted(
         r[0]
-        for r in df.select(key)
+        for r in src.select(key)
         .sample(False, SAMPLE_FRACTION, seed=42)
         .orderBy(F.md5(F.col(key).cast("string")))
         .limit(max_boundary_sample)
@@ -74,7 +83,7 @@ def assign_dense_ordinals_with_aggs(
         bucket = F.lit(0)
     with_b = df.withColumn("__bkt", bucket.cast("int"))
 
-    agg_rows = with_b.groupBy("__bkt").agg(
+    agg_rows = src.withColumn("__bkt", bucket.cast("int")).groupBy("__bkt").agg(
         F.count("*").alias("cnt"), *(extra_aggs or [])
     ).collect()
     counts = {r["__bkt"]: r["cnt"] for r in agg_rows}
@@ -106,8 +115,10 @@ def assign_dense_ordinals(
     out: str = "doc_ord",
     num_partitions: int | None = None,
     max_boundary_sample: int = MAX_BOUNDARY_SAMPLE,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     out_df, _n, _aggs = assign_dense_ordinals_with_aggs(
-        df, key, out, num_partitions, max_boundary_sample=max_boundary_sample
+        df, key, out, num_partitions, max_boundary_sample=max_boundary_sample,
+        stats_df=stats_df,
     )
     return out_df

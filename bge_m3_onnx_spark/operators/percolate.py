@@ -115,6 +115,14 @@ def percolate(
     saved/qarr relations stay broadcast-sized while candidates shuffle only
     Σ_q df(rarest(q)) rows.
     """
+    if conjunctive and min_should_match > 1:
+        # AND already requires every term; a caller passing m > 1 with
+        # conjunctive=True is asking for m-of-n semantics and would silently
+        # get AND instead — fail loudly (ADVICE r5).
+        raise ValueError(
+            "min_should_match > 1 requires conjunctive=False (m-of-n is an OR-family "
+            "semantic; conjunctive=True already means m == n_terms)"
+        )
     if not conjunctive and min_should_match > 1:
         # minimum_should_match ≥ 2 (the ES percolator semantic): report
         # (doc, query) pairs matching at least m distinct query terms. Full-OR

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
-from bge_m3_onnx_spark.functions.tokenizer import term_counts_udf, tokenize_udf
+from bge_m3_onnx_spark.functions.tokenizer import (
+    term_counts_udf,
+    token_count_udf,
+    tokenize_udf,
+)
 from bge_m3_onnx_spark.sources.transcripts import doc_id_col
 
 
@@ -57,6 +61,18 @@ def counted_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     ).withColumn(
         "dl",
         F.aggregate("term_tfs", F.lit(0), lambda acc, x: acc + x["tf"]).cast("int"),
+    )
+
+
+def doc_len_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, dl) via the count-only kernel — the LIGHT statistics twin of
+    :func:`counted_docs` (identical dl for every input; tests pin it). Use it
+    for jobs that need only per-doc counts (ordinal bucket counts, Σdl,
+    corpus stats): 4 bytes cross the Arrow boundary per doc instead of the
+    full (term, tf) struct array (guide §4.1: pass only what the job needs)."""
+    tok_n = token_count_udf(cfg.max_tokens, cfg.special_terms)
+    return transcripts.select(
+        doc_id_col().alias("doc_id"), tok_n(F.col("text")).alias("dl")
     )
 
 

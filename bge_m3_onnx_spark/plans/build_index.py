@@ -50,6 +50,51 @@ class InvertedIndex:
     # intermediate cached relations owned by this index generation (e.g. the
     # tokenized-delta relation a merge persisted); released with the index.
     _aux_cached: list = field(default_factory=list, repr=False)
+    # Materialized-layout partition-pruning hooks (set by load_materialized /
+    # load_index when the on-disk layout is bucket=pmod(xxhash64(term), B)
+    # partition directories): the SAME relations WITH the bucket partition
+    # column, plus the modulus B. Query paths compute each query term's bucket
+    # on the driver (functions/hashing.py — the pure-Python XXH64 twin) and
+    # push ``bucket IN (...)`` into the scan, so Catalyst partition-prunes
+    # B−B' directories instead of reading every bucket's files. ``postings``
+    # and ``blocks`` above stay bucket-free — merge/union consumers
+    # (streaming/incremental.py) never see the extra column.
+    term_buckets: int | None = None
+    postings_bucketed: DataFrame | None = field(default=None, repr=False)
+    blocks_bucketed: DataFrame | None = field(default=None, repr=False)
+
+    def pruned_postings(self, terms: list[str]) -> DataFrame:
+        """Postings restricted to ``terms``: pushed ``term IN`` always; plus
+        pushed ``bucket IN`` partition pruning when the index is materialized
+        in the bucketed layout. Identical rows either way (bucket is a pure
+        function of term, pinned against Spark by tests/test_hashing.py)."""
+        if not terms:
+            return self.postings.filter(F.lit(False))
+        pred = F.col("term").isin(list(terms))
+        if self.term_buckets and self.postings_bucketed is not None:
+            from bge_m3_onnx_spark.functions.hashing import term_bucket
+
+            bs = sorted({term_bucket(t, self.term_buckets) for t in terms})
+            return self.postings_bucketed.filter(
+                F.col("bucket").isin(bs) & pred
+            ).drop("bucket")
+        return self.postings.filter(pred)
+
+    def pruned_blocks(self, terms: list[str]) -> DataFrame:
+        """Compressed blocks restricted to ``terms`` — same bucket-pruning
+        contract as :meth:`pruned_postings`."""
+        assert self.blocks is not None
+        if not terms:
+            return self.blocks.filter(F.lit(False))
+        pred = F.col("term").isin(list(terms))
+        if self.term_buckets and self.blocks_bucketed is not None:
+            from bge_m3_onnx_spark.functions.hashing import term_bucket
+
+            bs = sorted({term_bucket(t, self.term_buckets) for t in terms})
+            return self.blocks_bucketed.filter(
+                F.col("bucket").isin(bs) & pred
+            ).drop("bucket")
+        return self.blocks.filter(pred)
 
     def release(self) -> None:
         """Unpersist every cached relation this index generation owns.
@@ -101,17 +146,23 @@ def build_index(
     # more than the ~1 recompute of the vectorized tokenizer (measured: persist
     # 56 s vs recompute 4 s at 1M turns × 32 threads); at 10^12 rows it wouldn't
     # fit anyway. The materialized build (plans/checkpoint.py) writes Parquet.
+    #
+    # Statistics jobs (ordinal bucket counts, Σdl / avgdl) run on the LIGHT
+    # count-only twin of counted (identical doc_id/dl — tests pin the kernels
+    # against each other): pass 1 ships 4 bytes per doc through Arrow instead
+    # of the full term_tfs struct array (guide §4.1). The fat kernel then runs
+    # exactly once, inside the postings materialization.
+    light = P.doc_len_docs(transcripts, cfg)
     if with_ordinals or with_blocks:
-        # corpus stats piggyback on the ordinals counts job — one UDF pass serves
-        # boundary offsets AND (N, avgdl).
         counted, n, aggs = assign_dense_ordinals_with_aggs(
             counted, key="doc_id", out="doc_ord",
             extra_aggs=[F.sum("dl").alias("sum_dl")],
+            stats_df=light,
         )
         sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
         stats = P.CorpusStats(n_docs=n, avgdl=(sum_dl / n) if n else 0.0)
     else:
-        stats = P.corpus_stats(counted)
+        stats = P.corpus_stats(light)
     # postings derive by pure explode (term counting already happened inside the
     # Arrow kernel — SPIMI in-mapper combining), so the build has NO aggregation
     # shuffle on the fat exploded relation.
@@ -318,6 +369,20 @@ def load_index_bucketed(
         stored["b"] = float(props["engine.b"])
     if "engine.block_size" in props:
         stored["block_size"] = int(props["engine.block_size"])
+    missing = {"engine.k1", "engine.b", "engine.block_size"} - set(props)
+    if missing and props.get("engine.has_blocks") == "True":
+        # tables written before these properties existed fall through to the
+        # caller's cfg SILENTLY — exactly the mismatch class (stored
+        # block_max_score no longer bounding query scores) reconcile_cfg
+        # exists to make loud (ADVICE r5)
+        import warnings
+
+        warnings.warn(
+            f"bucketed index {table_prefix!r} has compressed blocks but lacks "
+            f"TBLPROPERTIES {sorted(missing)}; falling back to the caller's cfg — "
+            "queries are only valid if it matches the build-time parameters",
+            stacklevel=2,
+        )
     cfg = reconcile_cfg(cfg or DEFAULT_CONFIG, stored, table_prefix)
     blocks = None
     if props.get("engine.has_blocks") == "True":

@@ -172,7 +172,12 @@ def materialize_index(
     stats_path = os.path.join(index_dir, "stats.json")
 
     def st_tokenized():
-        tok = assign_dense_ordinals(P.counted_docs(transcripts, cfg), "doc_id", "doc_ord")
+        # boundary sample + bucket counts run on the light count-only twin —
+        # the fat term_tfs kernel runs exactly once, inside the write
+        tok = assign_dense_ordinals(
+            P.counted_docs(transcripts, cfg), "doc_id", "doc_ord",
+            stats_df=P.doc_len_docs(transcripts, cfg),
+        )
         tok.write.mode("overwrite").parquet(tok_path)
         return tok_path, None
 
@@ -219,6 +224,11 @@ def materialize_index(
                     "k1": cfg.k1,
                     "b": cfg.b,
                     "block_size": cfg.block_size,
+                    # bucket modulus of the postings/blocks partition layout —
+                    # needed at load time for driver-side bucket pruning (an
+                    # empty bucket writes NO directory, so the layout cannot be
+                    # inferred from the bucket=* dirs)
+                    "term_buckets": n_buckets,
                 },
                 f,
                 indent=2,
@@ -256,12 +266,26 @@ def load_materialized(spark: SparkSession, index_dir: str, cfg: EngineConfig = D
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     cfg = reconcile_cfg(cfg, stats, index_dir)
+    post_path = os.path.join(index_dir, "postings")
+    blocks_path = os.path.join(index_dir, "blocks")
+    postings_b = spark.read.parquet(post_path)
+    blocks_b = spark.read.parquet(blocks_path)
+    # bucket modulus from stats.json (st_stats persists it — an EMPTY bucket
+    # writes no directory, so the dir listing cannot recover the modulus).
+    # Query paths push ``bucket IN (driver-hashed term buckets)`` so the scan
+    # partition-prunes; the bucket-free ``postings``/``blocks`` keep every
+    # other consumer (merges, unions) on the unchanged schema. Indexes
+    # materialized before this field existed load with pruning disabled.
+    n_buckets = int(stats.get("term_buckets") or 0)
     return InvertedIndex(
-        postings=spark.read.parquet(os.path.join(index_dir, "postings")).drop("bucket"),
+        postings=postings_b.drop("bucket"),
         terms=spark.read.parquet(os.path.join(index_dir, "terms")),
         docs=spark.read.parquet(os.path.join(index_dir, "docs")),
         n_docs=int(stats["n_docs"]),
         avgdl=float(stats["avgdl"]),
         cfg=cfg,
-        blocks=spark.read.parquet(os.path.join(index_dir, "blocks")).drop("bucket"),
+        blocks=blocks_b.drop("bucket"),
+        term_buckets=n_buckets or None,
+        postings_bucketed=postings_b if n_buckets else None,
+        blocks_bucketed=blocks_b if n_buckets else None,
     )

@@ -14,8 +14,9 @@ from pyspark.sql.types import IntegerType, LongType, StringType, StructField, St
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
 from bge_m3_onnx_spark.functions.tokenizer import tokenize_text
 from bge_m3_onnx_spark.operators.bm25 import (
-    score_postings,
-    score_postings_conjunctive,
+    bm25_term_score,
+    idf_col,
+    sum_scores_deterministic,
     topk,
     topk_single,
 )
@@ -74,8 +75,13 @@ def run_queries(
     )
     # df comes from the index's driver-side memo (one pruned lookup per NEW term,
     # free for repeated terms), so the query plan embeds idf as literals and runs
-    # as ONE job: pruned scan → broadcast join → agg → window. The r1 plan paid a
-    # terms-aggregation subjob inside every query (query_p50 cost).
+    # as ONE job: pruned scan → literal-map fan-out → agg → window. The r1 plan
+    # paid a terms-aggregation subjob inside every query; the r1-r5 plan still
+    # paid a createDataFrame + broadcast-exchange subjob for the tiny
+    # (query_id, term, df) relation on EVERY query — all of it driver-known, so
+    # it is inlined as map literals instead (r6; the WAND path has used the same
+    # trick since r4): explode(element_at(map, term)) IS the inner join against
+    # a driver-known relation, with no exchange and a smaller plan tree.
     df_map = idx.df_for_terms(term_list)
     qt_rows = [
         (int(qid), t, int(df_map[t]))
@@ -83,21 +89,73 @@ def run_queries(
         for t in sorted(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
         if t in df_map
     ]
-    qt_stats = spark.createDataFrame(qt_rows, QUERY_TERM_STATS_SCHEMA)
     hit_terms = sorted({t for _, t, _ in qt_rows})
-    postings = idx.postings.filter(F.col("term").isin(hit_terms)) if hit_terms else idx.postings.filter(F.lit(False))
+    if not hit_terms:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id string, score double"
+        )
+    postings = idx.pruned_postings(hit_terms)
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, t, _ in qt_rows:
+        qids_by_term.setdefault(t, []).append(qid)
+    qids_map = F.create_map(
+        *[
+            x
+            for t, qs in sorted(qids_by_term.items())
+            for x in (F.lit(t), F.array(*[F.lit(int(q)) for q in sorted(qs)]))
+        ]
+    )
+    # df as a DOUBLE literal per term: idf is then computed with the SAME
+    # Spark-side idf_col expression as before (df column cast to double), so
+    # scores stay bit-identical to the r5 broadcast-join plan.
+    df_lit = F.create_map(
+        *[x for t in hit_terms for x in (F.lit(t), F.lit(float(df_map[t])))]
+    )
+    per_term = postings.select(
+        F.explode(F.element_at(qids_map, F.col("term"))).alias("query_id"),
+        "doc_id",
+        "term",
+        bm25_term_score(
+            F.col("tf"),
+            F.col("dl"),
+            idf_col(F.element_at(df_lit, F.col("term")), idx.n_docs),
+            idx.avgdl,
+            cfg,
+        ).alias("s"),
+    )
+    # Driver-sized exchange: an explicit hash repartition on the agg keys
+    # replaces the session-default exchange — the aggregate reuses this
+    # partitioning, so it's the SAME single shuffle, sized to the candidate
+    # volume (Σ df, known exactly on the driver) instead of a fixed width.
+    per_term = per_term.repartition(_agg_partitions(spark, qt_rows), "query_id", "doc_id")
     if conjunctive:
         n_terms = {
             int(qid): len(set(tokenize_text(qtext, cfg.max_tokens, cfg.special_terms)))
             for qid, qtext in queries.items()
         }
-        scored = score_postings_conjunctive(
-            postings, qt_stats, n_terms, idx.n_docs, idx.avgdl, cfg, agg_partitions=_agg_partitions(spark, qt_rows)
+        need = F.create_map(
+            *[
+                x
+                for q, n_q in sorted(n_terms.items())
+                for x in (F.lit(int(q)), F.lit(int(n_q)))
+            ]
+        )
+        # same deterministic term-sorted fold as the disjunctive path; the
+        # matched-term count rides as size(cs) — the AND filter adds ZERO
+        # extra shuffles (operators/bm25.py score_postings_conjunctive kept
+        # the same shape).
+        scored = (
+            per_term.groupBy("query_id", "doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("cs"))
+            .filter(F.size("cs") == F.element_at(need, F.col("query_id")))
+            .select(
+                "query_id",
+                "doc_id",
+                F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["s"]).alias("score"),
+            )
         )
     else:
-        scored = score_postings(
-            postings, qt_stats, idx.n_docs, idx.avgdl, cfg, agg_partitions=_agg_partitions(spark, qt_rows)
-        )
+        scored = sum_scores_deterministic(per_term, ["query_id", "doc_id"])
     if len(queries) == 1:
         return topk_single(scored, k)
     return topk(scored, k)

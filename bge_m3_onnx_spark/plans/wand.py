@@ -344,7 +344,9 @@ def _run_queries_wand_forced(
     # idempotent, so the early-exit branches' explicit unpersists are fine.
     _persisted: list[DataFrame] = []
     try:
-        qblocks = idx.blocks.filter(F.col("term").isin(qterms_list)).coalesce(_width).persist()
+        # pruned_blocks pushes term IN always, and bucket IN when the index is
+        # materialized in the bucketed layout (partition pruning at the scan).
+        qblocks = idx.pruned_blocks(qterms_list).coalesce(_width).persist()
         _persisted.append(qblocks)
         # Slim metadata twin of qblocks (no varbyte buffer columns): the phase-1/2
         # machinery makes ~a dozen metadata passes (windows, bounds, surviving
@@ -353,7 +355,7 @@ def _run_queries_wand_forced(
         # the event-log profile showed ~25 broadcast subjobs at 0.3-1.2 s each
         # doing exactly that. Decode steps still read qblocks (they need buffers).
         qmeta = (
-            idx.blocks.filter(F.col("term").isin(qterms_list))
+            idx.pruned_blocks(qterms_list)
             .select("term", "block_id", "block_range", "block_max_score")
             .coalesce(_width)
             .persist()
@@ -472,7 +474,14 @@ def _run_queries_wand_forced(
             for d in _df_by_term.values()
         )
         _PHASE2_DRIVER_CAP = 200_000
-        _driver_phase2 = _est_blocks <= _PHASE2_DRIVER_CAP
+        # Merged indexes can retain blocks cut at a SMALLER stored range than
+        # the current cfg predicts, so the tiling bound above can undercount
+        # non-empty blocks and let the cap admit oversized collects (ADVICE
+        # r5). The distributed phase 2 is lossless and unconditionally safe —
+        # take it whenever uncompacted merges make the estimate untrustworthy.
+        _driver_phase2 = (
+            _est_blocks <= _PHASE2_DRIVER_CAP and idx.merges_since_compaction == 0
+        )
         union_rows = theta_rows.unionByName(meta_rows)
         if _driver_phase2:
             block_rows = qmeta.select(
@@ -680,6 +689,7 @@ def _run_queries_wand_forced(
         # back to block keys: the boundary x lies in block x // range_t of each
         # ESSENTIAL term (candidate sources; non-essential blocks are never
         # candidate sources — see the MaxScore argument above)
+        _full_survival = False
         if _blk_lists:
             # ---- phase 2 on the driver (NumPy over the collected metadata) ----
             # Semantics identical to the distributed branch below: per query,
@@ -692,11 +702,34 @@ def _run_queries_wand_forced(
                 _blk_lists, range_by_term, _terms_by_qid, theta, _ess_by_qid
             )
             _n_keys = sum(len(v) for v in surv_by_term.values())
+            # Full-survival detection (r6, driver-side — the metadata is already
+            # here): when EVERY block of EVERY essential term survived phase 2
+            # (the unprunable regime — e.g. forced WAND on a corpus where each
+            # block max equals θ), the surviving set is exactly "all blocks of
+            # the essential terms", so (a) the block-key filter collapses to a
+            # term IN predicate, and (b) downstream, the candidate set equals
+            # the decode's own explode pairs and the covering-block completion
+            # is empty — three shuffles and two persists become identities and
+            # are skipped below.
+            _ess_terms_all = sorted(
+                {t for ts in _ess_by_qid.values() for t in ts if t in _blk_lists}
+            )
+            _full_survival = bool(_ess_terms_all) and all(
+                len(surv_by_term.get(t, ())) == len(_blk_lists[t])
+                for t in _ess_terms_all
+            )
             # literal-IN only while the predicate stays small: a measured 15k-key
             # isin (unprunable stopword batch) bloated every task binary to ~1MB
             # and wrecked codegen — past the cap a broadcast semi-join against a
             # driver-built relation is one cheap subjob instead.
-            if _n_keys <= 2_000:
+            if _full_survival:
+                _surv_term_expr = F.col("term").isin(_ess_terms_all)
+                surviving = qblocks.filter(_surv_term_expr)
+
+                def _not_surv(df_: DataFrame) -> DataFrame:
+                    return df_.filter(~_surv_term_expr)
+
+            elif _n_keys <= 2_000:
                 # literal IN-filters on the cached qblocks: no join, no
                 # broadcast-exchange subjob, tiny plan tree
                 _surv_expr = F.lit(False)
@@ -745,35 +778,50 @@ def _run_queries_wand_forced(
         # surviving remainder is decoded on top.
         decoded = decode_blocks(surviving.select(*_BLOCK_COLS)).persist()
         _persisted.append(decoded)
-        # per-query candidates: docs in any surviving block of a term ESSENTIAL to
-        # that query. Lazily persisted (no eager count — VERDICT r1).
-        candidates = (
-            decoded.select(
-                F.explode(F.element_at(ess_qids_map, F.col("term"))).alias("query_id"), "doc_ord"
+        if _full_survival:
+            # Every block of every essential term survived, so (proof in-line):
+            # candidates = {(q, d): d in a surviving block of a term essential
+            # to q} = exactly the (q, d) pairs _score_decoded_lit's explode over
+            # ess_qids_map generates from decoded — the dropDuplicates shuffle,
+            # the doc_ord equi-join and the left-semi are identities; and the
+            # covering-block completion needed_ess ⊆ (all essential blocks) =
+            # surviving, so extra_ess = ∅ and full_ess = decoded (second persist
+            # skipped). s_ess is the plain scored aggregate of decoded.
+            candidates = None
+            extra_ess = None
+            full_ess = decoded
+            s_ess = _score_decoded_lit(decoded, ess_qids_map)
+        else:
+            # per-query candidates: docs in any surviving block of a term ESSENTIAL
+            # to that query. Lazily persisted (no eager count — VERDICT r1).
+            candidates = (
+                decoded.select(
+                    F.explode(F.element_at(ess_qids_map, F.col("term"))).alias("query_id"), "doc_ord"
+                )
+                .dropDuplicates(["query_id", "doc_ord"])
+                .persist()
             )
-            .dropDuplicates(["query_id", "doc_ord"])
-            .persist()
-        )
-        _persisted.append(candidates)
-        # blocks that can hold any posting of a candidate: block_id = ord // range with
-        # the range STORED in the blocks themselves (collected at rk=1 above) — valid
-        # even for blocks kept across incremental merges under older corpus stats.
-        needed_ess = (
-            candidates.select(
-                "doc_ord", F.explode(F.element_at(q2ess_tr_lit, F.col("query_id"))).alias("tr")
+            _persisted.append(candidates)
+            # blocks that can hold any posting of a candidate: block_id = ord // range
+            # with the range STORED in the blocks themselves (collected at rk=1 above)
+            # — valid even for blocks kept across incremental merges under older
+            # corpus stats.
+            needed_ess = (
+                candidates.select(
+                    "doc_ord", F.explode(F.element_at(q2ess_tr_lit, F.col("query_id"))).alias("tr")
+                )
+                .select(
+                    F.col("tr.term").alias("term"),
+                    F.floor(F.col("doc_ord") / F.col("tr.rng")).cast("long").alias("block_id"),
+                )
+                .dropDuplicates(["term", "block_id"])
             )
-            .select(
-                F.col("tr.term").alias("term"),
-                F.floor(F.col("doc_ord") / F.col("tr.rng")).cast("long").alias("block_id"),
-            )
-            .dropDuplicates(["term", "block_id"])
-        )
-        extra_ess = _not_surv(qblocks.join(needed_ess, ["term", "block_id"], "left_semi"))
-        full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
-        _persisted.append(full_ess)
-        s_ess = _score_decoded_lit(
-            full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), ess_qids_map
-        ).join(candidates, ["query_id", "doc_ord"], "left_semi")
+            extra_ess = _not_surv(qblocks.join(needed_ess, ["term", "block_id"], "left_semi"))
+            full_ess = decoded.unionByName(decode_blocks(extra_ess.select(*_BLOCK_COLS))).persist()
+            _persisted.append(full_ess)
+            s_ess = _score_decoded_lit(
+                full_ess.join(candidates.select("doc_ord").distinct(), "doc_ord"), ess_qids_map
+            ).join(candidates, ["query_id", "doc_ord"], "left_semi")
 
         # ---- θ-filter before the non-essential completion ----
         # score(d) = s_ess(d) + s_ness(d) ≤ s_ess(d) + Σ_{t non-ess} tmax(t), so a
@@ -816,7 +864,11 @@ def _run_queries_wand_forced(
             # duplicated posting would double-count in the fold)
             non_blocks = _not_surv(
                 qblocks.join(needed_non, ["term", "block_id"], "left_semi")
-            ).join(extra_ess.select("term", "block_id"), ["term", "block_id"], "left_anti")
+            )
+            if extra_ess is not None:
+                non_blocks = non_blocks.join(
+                    extra_ess.select("term", "block_id"), ["term", "block_id"], "left_anti"
+                )
             full = full_ess.unionByName(decode_blocks(non_blocks.select(*_BLOCK_COLS)))
             scored = _score_decoded_lit(
                 full.join(strong.select("doc_ord").distinct(), "doc_ord"), all_qids_map
@@ -858,10 +910,14 @@ def _run_queries_wand_forced(
             # the timed hot path.
             stats_out["blocks_total"] = qmeta.count()
             stats_out["blocks_surviving"] = surviving.count()
-            stats_out["blocks_extra_decoded"] = extra_ess.count() + (
-                non_blocks.count() if non_blocks is not None else 0
+            stats_out["blocks_extra_decoded"] = (
+                extra_ess.count() if extra_ess is not None else 0
+            ) + (non_blocks.count() if non_blocks is not None else 0)
+            # full-survival fast path: candidates == s_ess's (q, d) pairs (the
+            # identity the fast path rests on) — count those instead.
+            stats_out["n_candidates"] = (
+                candidates.count() if candidates is not None else s_ess.count()
             )
-            stats_out["n_candidates"] = candidates.count()
             stats_out["n_strong"] = strong.count()
             stats_out["essential_terms"] = {
                 qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
@@ -873,7 +929,8 @@ def _run_queries_wand_forced(
         qmeta.unpersist()
         decoded.unpersist()
         full_ess.unpersist()
-        candidates.unpersist()
+        if candidates is not None:
+            candidates.unpersist()
         strong.unpersist()
         return result
 

@@ -98,3 +98,37 @@ def test_term_counts_udf_matches_counter(spark):
         want = dict(Counter(tokenize_text(r["text"])))
         assert got == want, r["text"]
         assert sum(got.values()) == len(tokenize_text(r["text"]))
+
+
+def test_token_count_kernel_matches_full_tokenizer():
+    """doc_len_docs' count-only kernel (r6 light statistics pass) must produce
+    EXACTLY len(tokenize_text(...)) — dl feeds avgdl/ordinal counts, and any
+    drift vs the fat kernel would silently skew every BM25 score."""
+    from bge_m3_onnx_spark.functions.tokenizer import _TOKEN_RE, TOKEN_PATTERN
+
+    texts = EDGE_CASES + [" ".join(f"w{i}" for i in range(100))]
+    s = pd.Series(texts, dtype=object)
+    for max_tokens, specials in [(8192, frozenset()), (10, frozenset()),
+                                 (8192, frozenset({"the", "12345"})),
+                                 (3, frozenset({"w1"}))]:
+        want = [len(tokenize_text(t, max_tokens, specials)) for t in texts]
+        # replicate the pandas kernel body (the UDF wrapper is Spark-side only)
+        filled = s.fillna("")
+        norm = filled.str.normalize("NFKC").str.lower()
+        if specials:
+            toks = norm.str.findall(_TOKEN_RE)
+            toks = toks.map(lambda xs: xs[:max_tokens] if len(xs) > max_tokens else xs)
+            got = toks.map(lambda xs: sum(1 for t in xs if t not in specials))
+        else:
+            got = norm.str.count(TOKEN_PATTERN).clip(upper=max_tokens)
+        assert list(got.astype(int)) == want, (max_tokens, specials)
+
+
+def test_doc_len_docs_matches_counted_docs(spark):
+    from bge_m3_onnx_spark.operators.postings import counted_docs, doc_len_docs
+    from bge_m3_onnx_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, 200, 10)
+    full = {r["doc_id"]: r["dl"] for r in counted_docs(t).select("doc_id", "dl").collect()}
+    light = {r["doc_id"]: r["dl"] for r in doc_len_docs(t).collect()}
+    assert full == light
