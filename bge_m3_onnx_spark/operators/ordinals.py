@@ -41,6 +41,7 @@ def assign_dense_ordinals_with_aggs(
     extra_aggs: list | None = None,
     max_boundary_sample: int = MAX_BOUNDARY_SAMPLE,
     stats_df: DataFrame | None = None,
+    attach_to: DataFrame | None = None,
 ):
     """Add ``out`` = dense 0-based ordinal of ``key`` (keys must be unique).
 
@@ -56,9 +57,26 @@ def assign_dense_ordinals_with_aggs(
     it instead of ``df`` (guide §4.1: the counts job needs per-doc scalars, not
     the full tokenized payload ``df`` computes). Bucket membership is a pure
     function of the key, so per-bucket counts/offsets from ``stats_df`` apply
-    to ``df`` exactly; only the final ranking window touches ``df`` itself."""
+    to ``df`` exactly; only the final ranking window touches ``df`` itself.
+
+    ``attach_to`` (optional): a second relation with the SAME key multiset —
+    returned (as a 4th tuple element) with the SAME ordinals attached via the
+    SAME boundaries/offsets. Lets a caller rank a cheap twin (e.g. the light
+    (doc_id, dl) relation for the docs table) without re-deriving boundaries;
+    ordinal values are identical because they are a pure function of the key
+    ranking, which both relations share."""
     spark = df.sparkSession
-    n_buckets = max(1, num_partitions or spark.sparkContext.defaultParallelism)
+    # Ranking-window width is pinned EXPLICITLY (repartition before the window)
+    # instead of inheriting spark.sql.shuffle.partitions: the window can be
+    # materialized lazily inside a consumer that scoped the session width to
+    # its own (tiny) metadata jobs — plans/wand.py sizes shuffles from Σdf,
+    # and a corpus-sized ranking sort inherited width 1 there (measured: 24 s
+    # single-task sort at 1M docs inside a WAND query; guide §2.5/§2.4).
+    # Bucket IDs deliberately outnumber the window width ~4x so the hash
+    # spreads evenly (guide §2.5: few distinct synthetic keys + hash collisions
+    # leave partitions empty); ordinal VALUES are invariant to bucket count.
+    p_width = max(1, num_partitions or spark.sparkContext.defaultParallelism)
+    n_buckets = 4 * p_width
     src = stats_df if stats_df is not None else df
 
     sample = sorted(
@@ -81,7 +99,6 @@ def assign_dense_ordinals_with_aggs(
         bucket = F.size(F.filter(barr, lambda b: F.col(key) >= b))
     else:
         bucket = F.lit(0)
-    with_b = df.withColumn("__bkt", bucket.cast("int"))
 
     agg_rows = src.withColumn("__bkt", bucket.cast("int")).groupBy("__bkt").agg(
         F.count("*").alias("cnt"), *(extra_aggs or [])
@@ -89,7 +106,10 @@ def assign_dense_ordinals_with_aggs(
     counts = {r["__bkt"]: r["cnt"] for r in agg_rows}
     n = sum(counts.values())
     if n == 0:
-        return df.withColumn(out, F.lit(0).cast("long")), 0, agg_rows
+        zero = F.lit(0).cast("long")
+        if attach_to is not None:
+            return df.withColumn(out, zero), 0, agg_rows, attach_to.withColumn(out, zero)
+        return df.withColumn(out, zero), 0, agg_rows
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
@@ -101,11 +121,23 @@ def assign_dense_ordinals_with_aggs(
         ),
         F.col("__bkt"),
     )
-    w = Window.partitionBy("__bkt").orderBy(key)
-    out_df = (
-        with_b.withColumn(out, (F.row_number().over(w) - 1 + offset_expr).cast("long"))
-        .drop("__bkt")
-    )
+
+    def attach(rel: DataFrame) -> DataFrame:
+        # explicit repartition on the bucket key: the window's required
+        # ClusteredDistribution(__bkt) is satisfied, so this IS the window's
+        # only exchange — same single shuffle, width pinned to the cluster
+        # instead of the ambient session conf (see p_width note above)
+        w = Window.partitionBy("__bkt").orderBy(key)
+        return (
+            rel.withColumn("__bkt", bucket.cast("int"))
+            .repartition(p_width, "__bkt")
+            .withColumn(out, (F.row_number().over(w) - 1 + offset_expr).cast("long"))
+            .drop("__bkt")
+        )
+
+    out_df = attach(df)
+    if attach_to is not None:
+        return out_df, n, agg_rows, attach(attach_to)
     return out_df, n, agg_rows
 
 

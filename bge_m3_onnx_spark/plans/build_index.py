@@ -154,14 +154,22 @@ def build_index(
     # exactly once, inside the postings materialization.
     light = P.doc_len_docs(transcripts, cfg)
     if with_ordinals or with_blocks:
-        counted, n, aggs = assign_dense_ordinals_with_aggs(
+        # docs comes from the LIGHT twin ranked under the SAME boundaries
+        # (attach_to): identical (doc_id, dl, doc_ord) rows, but materializing
+        # it pays the 4-byte count kernel + a narrow-row ranking sort instead
+        # of the fat term_tfs kernel + a struct-array sort (guide §4.1). The
+        # docs relation is usually materialized lazily at QUERY time (the
+        # WAND ordinal→docID join), where the fat path cost ~24 s at 1M docs.
+        counted, n, aggs, docs_light = assign_dense_ordinals_with_aggs(
             counted, key="doc_id", out="doc_ord",
             extra_aggs=[F.sum("dl").alias("sum_dl")],
             stats_df=light,
+            attach_to=light,
         )
         sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
         stats = P.CorpusStats(n_docs=n, avgdl=(sum_dl / n) if n else 0.0)
     else:
+        docs_light = light
         stats = P.corpus_stats(light)
     # postings derive by pure explode (term counting already happened inside the
     # Arrow kernel — SPIMI in-mapper combining), so the build has NO aggregation
@@ -174,7 +182,7 @@ def build_index(
     # UDF (docs) on every use — caching them makes the per-query df lookup and the
     # final ordinal→docID join read from memory instead of re-deriving the corpus.
     terms = P.term_stats(posting, cfg)
-    docs = P.doc_stats(counted)
+    docs = docs_light
     if cache:
         terms = terms.persist()
         docs = docs.persist()

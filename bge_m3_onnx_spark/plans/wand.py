@@ -772,6 +772,28 @@ def _run_queries_wand_forced(
                     surviving.select("term", "block_id"), ["term", "block_id"], "left_anti"
                 )
 
+        # ---- decode-volume-aware width (r6, guide §2.5: partitioning derived
+        # from actual data size, not a constant) ----
+        # The session width was scoped to Σdf//1M for the METADATA jobs, which
+        # is right in the routed regime (tiny decode) but single-threads the
+        # unprunable/forced regime, where phase 3 decodes ~every posting of the
+        # query terms on 1-3 tasks. After driver-side phase 2 the survival is
+        # KNOWN: widen every later exchange to the estimated decode volume and
+        # spread the surviving block rows to match (block rows are ~KB — the
+        # repartition moves metadata+payload once, then decode/score run wide).
+        if _blk_lists:
+            if _full_survival:
+                _est_rows = sum(_df_by_term.get(t, 0) for t in _ess_terms_all)
+            else:
+                _est_rows = sum(len(v) for v in surv_by_term.values()) * cfg.block_size
+            _w2 = max(
+                _width,
+                min(spark.sparkContext.defaultParallelism, _est_rows // 250_000),
+            )
+            if _w2 > _width:
+                spark.conf.set("spark.sql.shuffle.partitions", str(_w2))
+                surviving = surviving.repartition(_w2, "term", "block_id")
+
         # ---- phase 3a: candidates + exact ESSENTIAL score ----
         # decoded is persisted: it feeds the candidate derivation AND is REUSED as
         # the bulk of the essential-rescore input — only the needed-but-not-
@@ -828,15 +850,10 @@ def _run_queries_wand_forced(
         # candidate below θ on that bound can never reach the top-k; only the
         # survivors pay the non-essential decode. ε pads the float comparison
         # (scores are O(10); 1e-6 admits a few extra candidates, never drops one).
-        strong = (
-            s_ess.filter(
-                F.col("score") + F.element_at(ness_map, F.col("query_id"))
-                >= F.element_at(theta_map, F.col("query_id")) - F.lit(1e-6)
-            )
-            .select("query_id", "doc_ord")
-            .persist()
+        _strong_cond = (
+            F.col("score") + F.element_at(ness_map, F.col("query_id"))
+            >= F.element_at(theta_map, F.col("query_id")) - F.lit(1e-6)
         )
-        _persisted.append(strong)
 
         # ---- phase 3b: non-essential completion for the strong candidates ----
         # Skipped entirely when no query has a non-essential term (the common
@@ -845,7 +862,10 @@ def _run_queries_wand_forced(
         # and real Catalyst planning time for provably-empty relations, and
         # s_ess over the essential completion IS the full exact score.
         non_blocks = None
+        strong = None
         if ness_pairs_rows:
+            strong = s_ess.filter(_strong_cond).select("query_id", "doc_ord").persist()
+            _persisted.append(strong)
             q2ness_tr_lit = _term_rng_map_lit(_ness_by_qid)
             needed_non = (
                 strong.select(
@@ -876,8 +896,10 @@ def _run_queries_wand_forced(
             scored = scored.join(strong, ["query_id", "doc_ord"], "left_semi")
         else:
             # every term essential → s_ess is already the exact full score for
-            # every candidate; the θ-filter (strong) bounds the final window input
-            scored = s_ess.join(strong, ["query_id", "doc_ord"], "left_semi")
+            # every candidate, and the left-semi of s_ess against its own
+            # θ-filter IS that filter — apply it directly: no persist, no
+            # broadcast-join subjob (r6; plan: 1 join + 1 persist removed)
+            scored = s_ess.filter(_strong_cond)
 
         # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
         # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
@@ -908,8 +930,19 @@ def _run_queries_wand_forced(
             # diagnostic counts AFTER the final materialization: they reuse the
             # still-alive caches instead of recomputing phase 2, and never sit on
             # the timed hot path.
-            stats_out["blocks_total"] = qmeta.count()
-            stats_out["blocks_surviving"] = surviving.count()
+            # block totals/survivors are DRIVER-KNOWN when phase 2 ran on the
+            # driver (the metadata was collected): no count job at all; the
+            # .count() fallbacks serve the distributed-phase-2 path only.
+            if _blk_lists:
+                stats_out["blocks_total"] = sum(len(v) for v in _blk_lists.values())
+                stats_out["blocks_surviving"] = (
+                    sum(len(_blk_lists[t]) for t in _ess_terms_all)
+                    if _full_survival
+                    else sum(len(v) for v in surv_by_term.values())
+                )
+            else:
+                stats_out["blocks_total"] = qmeta.count()
+                stats_out["blocks_surviving"] = surviving.count()
             stats_out["blocks_extra_decoded"] = (
                 extra_ess.count() if extra_ess is not None else 0
             ) + (non_blocks.count() if non_blocks is not None else 0)
@@ -918,7 +951,11 @@ def _run_queries_wand_forced(
             stats_out["n_candidates"] = (
                 candidates.count() if candidates is not None else s_ess.count()
             )
-            stats_out["n_strong"] = strong.count()
+            # strong is only materialized when phase 3b needs it; on the
+            # all-essential path the same count re-derives over the live caches
+            stats_out["n_strong"] = (
+                strong.count() if strong is not None else s_ess.filter(_strong_cond).count()
+            )
             stats_out["essential_terms"] = {
                 qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
             }
@@ -931,7 +968,8 @@ def _run_queries_wand_forced(
         full_ess.unpersist()
         if candidates is not None:
             candidates.unpersist()
-        strong.unpersist()
+        if strong is not None:
+            strong.unpersist()
         return result
 
     finally:
