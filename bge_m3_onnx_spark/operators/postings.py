@@ -24,12 +24,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bge_m3_onnx_spark.config import DEFAULT_CONFIG, EngineConfig
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from bge_m3_onnx_spark.functions.tokenizer import (
-    term_counts_udf,
-    token_count_udf,
+    term_counts_arrow_kernel,
+    token_count_arrow_kernel,
     tokenize_udf,
 )
 from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
+# Output schemas of the mapInArrow kernels — nullability mirrors the historical
+# pandas_udf-derived relations exactly (schema parity is part of the driver's
+# correctness gate).
+COUNTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField(
+            "term_tfs",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("term", StringType(), False),
+                        StructField("tf", IntegerType(), False),
+                    ]
+                ),
+                True,
+            ),
+            True,
+        ),
+        StructField("dl", IntegerType(), True),
+    ]
+)
+
+DOC_LEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("dl", IntegerType(), True),
+    ]
+)
 
 
 @dataclass
@@ -54,14 +92,16 @@ def counted_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     """(doc_id, term_tfs: array<struct<term,tf>>, dl) — SPIMI in-mapper combining:
     the per-document term counting (reference dedupe semantics A2) happens inside
     the Arrow kernel, so postings derive by a PURE explode with no aggregation
-    shuffle (see term_counts_udf). dl = Σtf = token count before dedupe."""
-    tok = term_counts_udf(cfg.max_tokens, cfg.special_terms)
+    shuffle. dl = Σtf = token count before dedupe.
+
+    r6: mapInArrow instead of a pandas UDF — the UDF serializer's per-element
+    conversion of the returned list-of-tuples column dominated the stage
+    (guide §4.2); only (doc_id, text) cross the boundary, and the kernel
+    assembles the list<struct> output column directly from numpy offsets."""
+    kern = term_counts_arrow_kernel(cfg.max_tokens, cfg.special_terms)
     return transcripts.select(
-        doc_id_col().alias("doc_id"), tok(F.col("text")).alias("term_tfs")
-    ).withColumn(
-        "dl",
-        F.aggregate("term_tfs", F.lit(0), lambda acc, x: acc + x["tf"]).cast("int"),
-    )
+        doc_id_col().alias("doc_id"), F.col("text")
+    ).mapInArrow(kern, COUNTED_SCHEMA)
 
 
 def doc_len_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -69,11 +109,12 @@ def doc_len_docs(transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     :func:`counted_docs` (identical dl for every input; tests pin it). Use it
     for jobs that need only per-doc counts (ordinal bucket counts, Σdl,
     corpus stats): 4 bytes cross the Arrow boundary per doc instead of the
-    full (term, tf) struct array (guide §4.1: pass only what the job needs)."""
-    tok_n = token_count_udf(cfg.max_tokens, cfg.special_terms)
+    full (term, tf) struct array (guide §4.1: pass only what the job needs).
+    ASCII rows never touch Python at all (C++ regex count — guide §4.2)."""
+    kern = token_count_arrow_kernel(cfg.max_tokens, cfg.special_terms)
     return transcripts.select(
-        doc_id_col().alias("doc_id"), tok_n(F.col("text")).alias("dl")
-    )
+        doc_id_col().alias("doc_id"), F.col("text")
+    ).mapInArrow(kern, DOC_LEN_SCHEMA)
 
 
 def postings_from_counted(counted: DataFrame) -> DataFrame:

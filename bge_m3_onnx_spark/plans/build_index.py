@@ -160,11 +160,16 @@ def build_index(
         # of the fat term_tfs kernel + a struct-array sort (guide §4.1). The
         # docs relation is usually materialized lazily at QUERY time (the
         # WAND ordinal→docID join), where the fat path cost ~24 s at 1M docs.
+        from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
         counted, n, aggs, docs_light = assign_dense_ordinals_with_aggs(
             counted, key="doc_id", out="doc_ord",
             extra_aggs=[F.sum("dl").alias("sum_dl")],
             stats_df=light,
             attach_to=light,
+            # keys without any kernel: the boundary sample scans the raw
+            # transcripts projection, not the opaque mapInArrow twin
+            key_df=transcripts.select(doc_id_col().alias("doc_id")),
         )
         sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
         stats = P.CorpusStats(n_docs=n, avgdl=(sum_dl / n) if n else 0.0)

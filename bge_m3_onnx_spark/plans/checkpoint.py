@@ -174,9 +174,12 @@ def materialize_index(
     def st_tokenized():
         # boundary sample + bucket counts run on the light count-only twin —
         # the fat term_tfs kernel runs exactly once, inside the write
+        from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
         tok = assign_dense_ordinals(
             P.counted_docs(transcripts, cfg), "doc_id", "doc_ord",
             stats_df=P.doc_len_docs(transcripts, cfg),
+            key_df=transcripts.select(doc_id_col().alias("doc_id")),
         )
         tok.write.mode("overwrite").parquet(tok_path)
         return tok_path, None
