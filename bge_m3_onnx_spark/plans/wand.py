@@ -85,6 +85,11 @@ from bge_m3_onnx_spark.plans.build_index import InvertedIndex
 
 _BLOCK_COLS = ["term", "block_id", "n", "first_ord", "ords_vb", "tfs_vb", "dls_vb"]
 
+# Target decoded-postings per task for the post-phase-2 width bump (see the
+# decode-volume-aware width note in _run_queries_wand_forced). Module-level so
+# experiments/tests can pin it.
+_DECODE_ROWS_PER_TASK = 100_000
+
 
 def _phase2_driver(
     blk_lists: dict[str, list[tuple[int, float]]],
@@ -788,7 +793,7 @@ def _run_queries_wand_forced(
                 _est_rows = sum(len(v) for v in surv_by_term.values()) * cfg.block_size
             _w2 = max(
                 _width,
-                min(spark.sparkContext.defaultParallelism, _est_rows // 250_000),
+                min(spark.sparkContext.defaultParallelism, _est_rows // _DECODE_ROWS_PER_TASK),
             )
             if _w2 > _width:
                 spark.conf.set("spark.sql.shuffle.partitions", str(_w2))
