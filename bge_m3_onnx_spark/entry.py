@@ -2698,66 +2698,16 @@ FROM sess GROUP BY user_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate checks the FIRST 50
     # entries only.  Slices are rotated each round so green evidence never ages
-    # more than 2 rounds (VERDICT r3 #9, r4 #8): r5 front-loads the 25 slices
-    # whose last driver-green row is r3 (they aged to 2 rounds), then the 25
-    # r4-green slices whose code paths round 5 touches (WAND driver-phase-2
-    # gate rework, percolate OR path, merge/release, core build surface). The
-    # remaining 25 all have a green r4 row and rotate to the back.
+    # more than 2 rounds (VERDICT r3 #9, r4 #8): r6 front-loads the 25 slices
+    # whose last driver-green row is r4, then the 25 slices whose code paths
+    # round 6 touches (Arrow tokenizer kernels feed every token-derived
+    # relation; ordinal bucketing/docs-light; WAND width + fast paths; the
+    # exact literal-map plan). simhash_pairs is in the touched group because
+    # its r5 slot was position 51 — outside the gate (ADVICE r5). The
+    # remaining 26 all have a green r5 row and rotate to the back.
     return {
-        # --- green row dated r3 — re-verify this round ---
-        "ann_multiprobe_topk": q_ann_multiprobe_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embdup_pairs": q_embdup_pairs,
-        "mask_filter": q_mask_filter,
-        "sparse_maxdiff": q_sparse_maxdiff,
-        "dataset_metadata": q_dataset_metadata,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "lineitem_pricing": q_lineitem_pricing,
-        "order_priority_nation": q_order_priority_nation,
-        "word_char_counts": q_word_char_counts,
-        "deterministic_sample": q_deterministic_sample,
-        "positional_tokens": q_positional_tokens,
-        "phrase_match": q_phrase_match,
-        "snippet_positions": q_snippet_positions,
-        "fuzzy_terms": q_fuzzy_terms,
-        "proximity_match": q_proximity_match,
-        "prefix_search": q_prefix_search,
-        "facet_counts": q_facet_counts,
-        "recency_topk": q_recency_topk,
-        "more_like_this": q_more_like_this,
-        "bm25f_topk": q_bm25f_topk,
-        "conv_topk": q_conv_topk,
-        # --- code paths touched in r5 — re-verify ---
-        "wand_topk": q_wand_topk,
-        "percolate": q_percolate,
-        "percolate_msm": q_percolate_msm,
-        "bm25_topk": q_bm25_topk,
-        "bm25_conjunctive": q_bm25_conjunctive,
-        "bm25_page2": q_bm25_page2,
-        "bm25_negation": q_bm25_negation,
-        "score_explain": q_score_explain,
-        "hybrid_rrf": q_hybrid_rrf,
-        "colbert_maxsim": q_colbert_maxsim,
-        "scan_transcripts": q_scan_transcripts,
-        "postings_tf": q_postings_tf,
-        "doc_lengths": q_doc_lengths,
-        "term_df": q_term_df,
-        "corpus_stats": q_corpus_stats,
-        "block_metadata": q_block_metadata,
-        "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_exact": q_dedup_exact,
-        "minhash_bands": q_minhash_bands,
-        "neardup_pairs": q_neardup_pairs,
-        "jaccard_neighbors": q_jaccard_neighbors,
-        "simhash_pairs": q_simhash_pairs,
-        # --- green r4 rows — rotate to the back (entries 51-75) ---
+        # --- green row dated r4 (rotated to the back in r5) — re-verify
+        # this round so no slice's evidence ages beyond one round ---
         "synonym_topk": q_synonym_topk,
         "index_stats": q_index_stats,
         "date_histogram": q_date_histogram,
@@ -2783,6 +2733,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_union": q_keyset_union,
         "zip_compare": q_zip_compare,
         "encode_failures": q_encode_failures,
+        # --- code paths touched in r6 (tokenizer kernels -> every token-
+        # derived relation, ordinals/docs, WAND phases, exact literal-map
+        # plan, percolate) — re-verify; simhash_pairs leads because its r5
+        # row sat at position 51, outside the gate (ADVICE r5) ---
+        "simhash_pairs": q_simhash_pairs,
+        "wand_topk": q_wand_topk,
+        "bm25_topk": q_bm25_topk,
+        "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_page2": q_bm25_page2,
+        "bm25_negation": q_bm25_negation,
+        "score_explain": q_score_explain,
+        "conv_topk": q_conv_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "more_like_this": q_more_like_this,
+        "hybrid_rrf": q_hybrid_rrf,
+        "colbert_maxsim": q_colbert_maxsim,
+        "percolate": q_percolate,
+        "percolate_msm": q_percolate_msm,
+        "scan_transcripts": q_scan_transcripts,
+        "postings_tf": q_postings_tf,
+        "doc_lengths": q_doc_lengths,
+        "term_df": q_term_df,
+        "corpus_stats": q_corpus_stats,
+        "block_metadata": q_block_metadata,
+        "positional_tokens": q_positional_tokens,
+        "token_counts": q_token_counts,
+        "word_char_counts": q_word_char_counts,
+        "deterministic_sample": q_deterministic_sample,
+        "dedup_exact": q_dedup_exact,
+        # --- green r5 rows — rotate to the back (entries 51-76) ---
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embdup_pairs": q_embdup_pairs,
+        "mask_filter": q_mask_filter,
+        "sparse_maxdiff": q_sparse_maxdiff,
+        "dataset_metadata": q_dataset_metadata,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "lineitem_pricing": q_lineitem_pricing,
+        "order_priority_nation": q_order_priority_nation,
+        "phrase_match": q_phrase_match,
+        "snippet_positions": q_snippet_positions,
+        "fuzzy_terms": q_fuzzy_terms,
+        "proximity_match": q_proximity_match,
+        "prefix_search": q_prefix_search,
+        "facet_counts": q_facet_counts,
+        "recency_topk": q_recency_topk,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "minhash_bands": q_minhash_bands,
+        "neardup_pairs": q_neardup_pairs,
+        "jaccard_neighbors": q_jaccard_neighbors,
     }
 
 
