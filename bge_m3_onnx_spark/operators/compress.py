@@ -161,6 +161,13 @@ def build_blocks(
         .withColumn("idf", idf)
         .select("term", "block_id", "block_range", "doc_ord", "tf", "dl", "idf")
     )
+    # idf stays a Spark-side java.lang.Math.log value: the stored block_max
+    # must EXACTLY equal an achievable query-time score (WAND's pruning and the
+    # MaxScore partition reason about bit-equality; a numpy-log twin could sit
+    # one ulp below it). block_id, by contrast, is pure float64 floor-division
+    # arithmetic the kernel reproduces bit-identically from block_range — so it
+    # is dropped from the Arrow boundary below (guide §2.3/§4.1: don't ship a
+    # column the kernel can recompute from one it already has).
 
     # One Arrow pass per partition instead of a grouped-apply per (term, block):
     # grouped applyInPandas costs ~ms per group (Arrow batch + frame per group),
@@ -171,16 +178,24 @@ def build_blocks(
     # hash-shuffle on (term, block_id): every group lands whole in one partition,
     # while a hot term's millions of blocks spread across ALL partitions (the skew
     # story survives); sort restores group contiguity for the boundary cut.
-    sorted_p = p.repartition("term", "block_id").sortWithinPartitions(
-        "term", "block_id", "doc_ord"
+    sorted_p = (
+        p.repartition("term", "block_id")
+        .sortWithinPartitions("term", "block_id", "doc_ord")
+        # the projection preserves the sort; block_id is re-derived in-kernel
+        .select("term", "block_range", "doc_ord", "tf", "dl", "idf")
     )
+
+    def _bids_np(ords: np.ndarray, brs: np.ndarray) -> np.ndarray:
+        # bit-identical to the SQL floor(doc_ord / block_range) that keyed the
+        # shuffle/sort: Spark's `/` on longs is IEEE float64 division
+        return np.floor(ords.astype(np.float64) / brs.astype(np.float64)).astype(np.int64)
 
     def _encode_table(tbl: pa.Table) -> pa.RecordBatch:
         t = tbl.combine_chunks()
         term_arr = t.column("term").chunk(0)
-        bids = t.column("block_id").to_numpy()
         brs = t.column("block_range").to_numpy()
         ords = t.column("doc_ord").to_numpy()
+        bids = _bids_np(ords, brs)
         tfs = t.column("tf").to_numpy().astype(np.int64)
         dls = t.column("dl").to_numpy().astype(np.int64)
         idfs = t.column("idf").to_numpy()
@@ -229,7 +244,9 @@ def build_blocks(
             if n_rows == 0:
                 continue
             codes = tbl.column("term").combine_chunks().dictionary_encode().indices.to_numpy()
-            bids = tbl.column("block_id").to_numpy()
+            bids = _bids_np(
+                tbl.column("doc_ord").to_numpy(), tbl.column("block_range").to_numpy()
+            )
             tail_eq = (codes == codes[-1]) & (bids == bids[-1])
             rev = tail_eq[::-1]
             tail_len = n_rows if rev.all() else int(rev.argmin())
