@@ -382,15 +382,31 @@ def _run_queries_wand_forced(
         # block-metadata rows, and a plain partitionBy(term) window would funnel
         # them through ONE task. Phase A takes top-S per (term, salt) — 32-way
         # parallel per term; phase B re-ranks the ≤ 32·S survivors per term.
-        w_pre = Window.partitionBy("term", "__salt").orderBy(
-            F.desc("block_max_score"), F.asc("block_id")
+        # The phase-A pass is SKIPPED when the driver's block estimate (the
+        # same order-of-magnitude bound the phase-2 gate uses — see below) says
+        # the whole metadata relation is small: w_seed alone computes the
+        # identical top-S then, and the salted pre-rank is one whole
+        # shuffle+sort of pure overhead per query (r6; same-result proof:
+        # phase A only pre-filters rows that cannot be in phase B's top-S).
+        _PHASE2_DRIVER_CAP = 200_000
+        _est_blocks = sum(
+            min(d, -(-n // max(cfg.block_range_for_term(d, n), 1)))
+            for d in _df_by_term.values()
         )
         w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
+        seed_src = qmeta
+        if _est_blocks > _PHASE2_DRIVER_CAP:
+            w_pre = Window.partitionBy("term", "__salt").orderBy(
+                F.desc("block_max_score"), F.asc("block_id")
+            )
+            seed_src = (
+                seed_src.withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
+                .withColumn("rk1", F.row_number().over(w_pre))
+                .filter(F.col("rk1") <= n_seed)
+                .drop("__salt", "rk1")
+            )
         seed_sel = (
-            qmeta
-            .withColumn("__salt", F.pmod(F.xxhash64("block_id"), F.lit(32)))
-            .withColumn("rk1", F.row_number().over(w_pre))
-            .filter(F.col("rk1") <= n_seed)
+            seed_src
             .withColumn("rk", F.row_number().over(w_seed))
             .filter(F.col("rk") <= n_seed)
             .select("term", "block_id", "block_range", "block_max_score", "rk")
@@ -474,11 +490,8 @@ def _run_queries_wand_forced(
         # the tagged-union collect pull millions of rows to the driver. Merges can
         # keep older (smaller-range) stored blocks, so this stays an
         # order-of-magnitude gate with known slack in that direction.
-        _est_blocks = sum(
-            min(d, -(-n // max(cfg.block_range_for_term(d, n), 1)))
-            for d in _df_by_term.values()
-        )
-        _PHASE2_DRIVER_CAP = 200_000
+        # (_est_blocks itself is computed once, above the seed selection, which
+        # reuses it to skip the salted pre-rank on small metadata.)
         # Merged indexes can retain blocks cut at a SMALLER stored range than
         # the current cfg predicts, so the tiling bound above can undercount
         # non-empty blocks and let the cap admit oversized collects (ADVICE
@@ -903,8 +916,14 @@ def _run_queries_wand_forced(
             # every term essential → s_ess is already the exact full score for
             # every candidate, and the left-semi of s_ess against its own
             # θ-filter IS that filter — apply it directly: no persist, no
-            # broadcast-join subjob (r6; plan: 1 join + 1 persist removed)
+            # broadcast-join subjob (r6; plan: 1 join + 1 persist removed).
+            # Diagnostics-only: persist the (strong-candidate-sized) result so
+            # n_strong below reads the cache the final job fills instead of
+            # re-deriving s_ess.
             scored = s_ess.filter(_strong_cond)
+            if stats_out is not None:
+                scored = scored.persist()
+                _persisted.append(scored)
 
         # map ordinals back to docIDs: scored is candidate-bounded (small), so it is
         # BROADCAST against the docs relation — no shuffle of the 10^12-row docs table.
@@ -957,9 +976,9 @@ def _run_queries_wand_forced(
                 candidates.count() if candidates is not None else s_ess.count()
             )
             # strong is only materialized when phase 3b needs it; on the
-            # all-essential path the same count re-derives over the live caches
+            # all-essential path scored == the strong set and was persisted
             stats_out["n_strong"] = (
-                strong.count() if strong is not None else s_ess.filter(_strong_cond).count()
+                strong.count() if strong is not None else scored.count()
             )
             stats_out["essential_terms"] = {
                 qid: sorted(t for q2, t in ess_pairs_rows if q2 == qid) for qid in qids
