@@ -48,6 +48,36 @@ def main() -> None:
     idx = build_index(synth_transcripts(spark, 2000, 10), with_blocks=True)
     idx.postings.count(); idx.blocks.count()
 
+    # ---- build-side plans (r6 session 2: ordinal window width, docs-light,
+    # Arrow tokenizer kernels, narrowed block-encode input) ----
+    import pyspark.sql.functions as F  # noqa: E402
+    from bge_m3_onnx_spark.operators import postings as P  # noqa: E402
+    from bge_m3_onnx_spark.operators.compress import build_blocks as _bb  # noqa: E402
+    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals_with_aggs  # noqa: E402
+
+    src = synth_transcripts(spark, 2000, 10)
+    counted = P.counted_docs(src)
+    light = P.doc_len_docs(src)
+    try:
+        from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
+        counted2, n, aggs, docs_rel = assign_dense_ordinals_with_aggs(
+            counted, "doc_id", "doc_ord",
+            extra_aggs=[F.sum("dl").alias("sum_dl")], stats_df=light,
+            attach_to=light, key_df=src.select(doc_id_col().alias("doc_id")),
+        )
+    except TypeError:  # round-start signature (no attach_to/key_df)
+        counted2, n, aggs = assign_dense_ordinals_with_aggs(
+            counted, "doc_id", "doc_ord",
+            extra_aggs=[F.sum("dl").alias("sum_dl")], stats_df=light,
+        )
+        docs_rel = P.doc_stats(counted2)
+    sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
+    posting_lineage = P.postings_from_counted(counted2)
+    dump("build_postings", fmt(posting_lineage))
+    dump("build_docs", fmt(docs_rel))
+    dump("build_blocks", fmt(_bb(posting_lineage, P.term_stats(posting_lineage), n, sum_dl / max(n, 1))))
+
     dump("bm25_exact_single", fmt(run_queries(spark, idx, {1: BATCH[1]}, k=10)))
     dump("bm25_exact_batch", fmt(run_queries(spark, idx, BATCH, k=10)))
     dump("bm25_conjunctive", fmt(run_queries(spark, idx, BATCH, k=10, conjunctive=True)))
