@@ -147,3 +147,31 @@ def test_block_max_is_true_upper_bound(spark, tiny_transcripts):
         rng = max(1, (idx.n_docs * cfg.block_size) // df)
         key = (r["term"], r["doc_ord"] // rng)
         assert s <= bmax[key] + 1e-12
+
+
+def test_ordinal_attach_to_twin_identical(spark):
+    """assign_dense_ordinals_with_aggs(attach_to=) must give the cheap twin
+    the SAME (key -> ordinal) mapping as the main relation (r6: the docs
+    table is ranked on the count-only twin under shared boundaries)."""
+    import pyspark.sql.functions as F
+
+    from bge_m3_onnx_spark.operators import postings as P
+    from bge_m3_onnx_spark.operators.ordinals import assign_dense_ordinals_with_aggs
+    from bge_m3_onnx_spark.sources.transcripts import doc_id_col, synth_transcripts
+
+    src = synth_transcripts(spark, 300, 10)
+    counted = P.counted_docs(src)
+    light = P.doc_len_docs(src)
+    main, n, _aggs, twin = assign_dense_ordinals_with_aggs(
+        counted, "doc_id", "doc_ord",
+        extra_aggs=[F.sum("dl").alias("sum_dl")],
+        stats_df=light, attach_to=light,
+        key_df=src.select(doc_id_col().alias("doc_id")),
+    )
+    a = {r["doc_id"]: r["doc_ord"] for r in main.select("doc_id", "doc_ord").collect()}
+    b = {r["doc_id"]: r["doc_ord"] for r in twin.select("doc_id", "doc_ord").collect()}
+    assert n == 3000 and a == b
+    # dense 0..n-1, and equal to rank-by-key
+    assert sorted(a.values()) == list(range(n))
+    ranked = {d: i for i, d in enumerate(sorted(a))}
+    assert a == ranked

@@ -132,3 +132,41 @@ def test_doc_len_docs_matches_counted_docs(spark):
     full = {r["doc_id"]: r["dl"] for r in counted_docs(t).select("doc_id", "dl").collect()}
     light = {r["doc_id"]: r["dl"] for r in doc_len_docs(t).collect()}
     assert full == light
+
+
+def test_arrow_kernels_match_oracle_with_config(spark):
+    """counted_docs / doc_len_docs (r6 mapInArrow kernels, ASCII fast path +
+    Python fallback) must equal the oracle tokenizer under NON-default config
+    too: max_tokens clamp (applied before the special filter) and a special
+    set that includes ASCII and non-ASCII terms, over a corpus that mixes
+    ASCII, multilingual, NFKC-foldable, empty and null rows in one batch."""
+    from collections import Counter
+
+    from bge_m3_onnx_spark.config import EngineConfig
+    from bge_m3_onnx_spark.operators.postings import counted_docs, doc_len_docs
+
+    texts = [
+        "the THE spark spark shuffle cls sep",
+        "English, Español, Русский, 中文 cls",
+        "ＨＥＬＬＯ ｗｏｒｌｄ cls hello",  # NFKC folds to ascii
+        "",
+        None,
+        "only_separators !!! ___",
+        " ".join(f"w{i}" for i in range(30)),  # clamp exercises pos<max_tokens
+        "ελληνικά the ελληνικά the the",
+    ]
+    rows = [(f"c{i}", 0, None, t, None, None) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    cfg = EngineConfig(max_tokens=5, special_terms=frozenset({"cls", "ελληνικά", "w1"}))
+    got_counts = {
+        r["doc_id"]: {x["term"]: x["tf"] for x in r["term_tfs"]}
+        for r in counted_docs(df, cfg).collect()
+    }
+    got_dl = {r["doc_id"]: r["dl"] for r in doc_len_docs(df, cfg).collect()}
+    for i, t in enumerate(texts):
+        toks = tokenize_text(t, cfg.max_tokens, cfg.special_terms)
+        key = f"c{i}:0"
+        assert got_counts[key] == dict(Counter(toks)), (t, got_counts[key])
+        assert got_dl[key] == len(toks), (t, got_dl[key])
