@@ -395,7 +395,11 @@ def _run_queries_wand_forced(
         )
         w_seed = Window.partitionBy("term").orderBy(F.desc("block_max_score"), F.asc("block_id"))
         seed_src = qmeta
-        if _est_blocks > _PHASE2_DRIVER_CAP:
+        # same trust condition as the phase-2 gate: merged uncompacted indexes
+        # can hold blocks cut at a smaller stored range than the estimate
+        # assumes, so the estimate can undercount — keep the salted pre-rank
+        # whenever the estimate is untrustworthy (review finding, r6)
+        if _est_blocks > _PHASE2_DRIVER_CAP or idx.merges_since_compaction > 0:
             w_pre = Window.partitionBy("term", "__salt").orderBy(
                 F.desc("block_max_score"), F.asc("block_id")
             )

@@ -77,9 +77,18 @@ def merge_delta(
     tok = P.counted_docs(delta_transcripts, cfg)
     if has_ord:
         base = int(idx.docs.agg(F.max("doc_ord")).collect()[0][0] or -1) + 1
-        tok = assign_dense_ordinals(tok, "doc_id", "doc_ord").withColumn(
-            "doc_ord", F.col("doc_ord") + F.lit(base)
-        )
+        # stats/key twins (r6): counted_docs is an opaque mapInArrow relation
+        # now, so without these the boundary sample and the bucket-count job
+        # would each run the fat term-counting kernel over the whole delta —
+        # the count-only kernel (bucket counts) and the raw key projection
+        # (sample) keep the fat kernel to its single ranking pass.
+        from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
+        tok = assign_dense_ordinals(
+            tok, "doc_id", "doc_ord",
+            stats_df=P.doc_len_docs(delta_transcripts, cfg),
+            key_df=delta_transcripts.select(doc_id_col().alias("doc_id")),
+        ).withColumn("doc_ord", F.col("doc_ord") + F.lit(base))
     tok = tok.persist()
 
     delta_postings = P.postings_from_counted(tok)
