@@ -54,15 +54,22 @@ def main() -> None:
         from bge_m3_onnx_spark.operators.compress import build_blocks
         import pyspark.sql.functions as F
 
+        from bge_m3_onnx_spark.sources.transcripts import doc_id_col
+
         stage_t: dict[str, float] = {}
         for rep in range(2):
             t_all0 = time.monotonic()
             counted = P.counted_docs(transcripts)
+            light = P.doc_len_docs(transcripts)
             sc.setJobDescription("build: ordinals sample+counts")
             t0 = time.monotonic()
-            counted, n, aggs = assign_dense_ordinals_with_aggs(
+            # mirrors build_index exactly: light stats twin, raw-key sample,
+            # docs from the attached twin (r6)
+            counted, n, aggs, docs_light = assign_dense_ordinals_with_aggs(
                 counted, key="doc_id", out="doc_ord",
                 extra_aggs=[F.sum("dl").alias("sum_dl")],
+                stats_df=light, attach_to=light,
+                key_df=transcripts.select(doc_id_col().alias("doc_id")),
             )
             stage_t["ordinal_jobs"] = min(stage_t.get("ordinal_jobs", 9e9), time.monotonic() - t0)
             sum_dl = sum(r["sum_dl"] or 0 for r in aggs)
@@ -91,7 +98,7 @@ def main() -> None:
         sc.setJobDescription(None)
         # keep the last build for the query phases
         from bge_m3_onnx_spark.plans.build_index import InvertedIndex
-        idx = InvertedIndex(postings=posting, terms=terms, docs=P.doc_stats(counted),
+        idx = InvertedIndex(postings=posting, terms=terms, docs=docs_light,
                             n_docs=n, avgdl=sum_dl / n,
                             cfg=__import__("bge_m3_onnx_spark.config", fromlist=["DEFAULT_CONFIG"]).DEFAULT_CONFIG,
                             blocks=blocks)
